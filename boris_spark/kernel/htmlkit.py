@@ -1,0 +1,498 @@
+"""HTML parsing + XPath-subset kernel.
+
+Re-implements, in pure Python, the exact observable behaviour of the
+reference's HTML stack (permissive parse → sxpath query → re-serialize
+matches as HTML strings):
+
+- ``xpath`` (/root/reference/hypertext-browser/html/xpath.rkt:41-45):
+  returns matched chunks re-serialized as HTML strings; list input recurses
+  per element, flattening (xpath.rkt:44-45).
+- ``xpath_text`` (xpath.rkt:47-49): for each match, join the text children of
+  the match's element via the sub-query ``/*/text()``, then trim — empty
+  nodes are preserved as ``""`` (contract xpath.rkt:21-24).  Note this takes
+  only *direct* text children: ``xpath_text('<p><b>x</b></p>', '//p')`` is
+  ``[""]`` in the reference, and here.
+- ``links`` / ``links_text`` (html/links.rkt:33-43) including the golden
+  ordering quirk (links.rkt:52 expects ``("fee" "foo")`` for html where
+  ``foo`` appears first in document order): sxpath's ``//`` is SSAX
+  ``node-closure``, a **breadth-first level-order** traversal, not document
+  order. Our descendant axis is therefore BFS level-order.
+- ``forms`` / ``form_fill`` (html/forms.rkt:46-85): action entity-decoded
+  (``html_decode_star``), METHOD upcased defaulting to POST, fields from
+  ``/form//input`` keyed by @name|@id with @value defaulting to "", user
+  data wins via first-occurrence dedup (forms.rkt:50-53).
+- ``html_decode`` / ``html_decode_star`` (html/html-entities.rkt:28-47): the
+  table is **exactly four entities** (&amp; &#38; &#x3a; &#x2f;); the regexp
+  is ``&[^;]*;``; unknown entities are left intact. Do NOT swap in
+  ``html.unescape`` — it would break byte-identity with the reference.
+
+Parser note: the reference's ``html->xexp`` decodes known entities in text
+and ``xexp->html`` re-encodes them on serialization. We instead keep text and
+attribute values verbatim in both directions — for well-formed entities the
+two round-trips agree byte-for-byte, and one shared kernel (used by the
+oracle *and* the Spark UDFs) makes extracted text byte-identical between
+them by construction, which is the actual per-row invariant (BASELINE.json
+``input_hint``).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+# ---------------------------------------------------------------- entities
+
+_ENTITY_TABLE = {
+    "&amp;": "&",
+    "&#38;": "&",
+    "&#x3a;": ":",
+    "&#x2f;": "/",
+}
+_ENTITY_RE = re.compile(r"&[^;]*;")
+
+
+def html_decode(html: str) -> str:
+    """html-entities.rkt:35-41 — only the 4-entity table, others intact."""
+    return _ENTITY_RE.sub(lambda m: _ENTITY_TABLE.get(m.group(0), m.group(0)), html)
+
+
+def html_decode_star(html: str) -> str:
+    """html-entities.rkt:43-47 — fixpoint iteration of html_decode."""
+    while True:
+        decoded = html_decode(html)
+        if decoded == html:
+            return html
+        html = decoded
+
+
+# ---------------------------------------------------------------- dom model
+
+
+@dataclass
+class Text:
+    data: str
+
+
+@dataclass
+class Element:
+    tag: str
+    attrs: list[tuple[str, str]] = field(default_factory=list)
+    children: list["Element | Text"] = field(default_factory=list)
+
+
+Node = Element | Text
+
+TOP = "*TOP*"
+
+_VOID_TAGS = {
+    "area", "base", "br", "col", "embed", "hr", "img", "input",
+    "link", "meta", "param", "source", "track", "wbr",
+}
+
+_TOKEN_RE = re.compile(
+    r"<!--.*?-->"                                   # comment
+    r"|<!\[CDATA\[.*?\]\]>"                         # cdata
+    r"|<![^>]*>"                                    # doctype / decl
+    r"|<\?[^>]*>"                                   # processing instruction
+    r"|</\s*([a-zA-Z][a-zA-Z0-9:_-]*)\s*>"          # end tag   (group 1)
+    r"|<([a-zA-Z][a-zA-Z0-9:_-]*)"                  # start tag (group 2)
+    r"((?:\"[^\"]*\"|'[^']*'|[^>])*)"               # attrs     (group 3)
+    r">",
+    re.S,
+)
+
+_ATTR_RE = re.compile(
+    r"([^\s=/>]+)(?:\s*=\s*(\"([^\"]*)\"|'([^']*)'|([^\s>]*)))?",
+)
+
+
+def _parse_attrs(raw: str) -> tuple[list[tuple[str, str]], bool]:
+    self_closing = raw.rstrip().endswith("/")
+    if self_closing:
+        raw = raw.rstrip()[:-1]
+    attrs: list[tuple[str, str]] = []
+    for m in _ATTR_RE.finditer(raw):
+        name = m.group(1).lower()
+        if m.group(2) is None:
+            val = name  # bare attribute, e.g. <input disabled>
+        else:
+            val = m.group(3) if m.group(3) is not None else (
+                m.group(4) if m.group(4) is not None else m.group(5) or ""
+            )
+        attrs.append((name, val))
+    return attrs, self_closing
+
+
+def parse_html(html: str) -> Element:
+    """Permissive parse to a tree rooted at an ``*TOP*`` element."""
+    root = Element(TOP)
+    stack: list[Element] = [root]
+    pos = 0
+    for m in _TOKEN_RE.finditer(html):
+        if m.start() > pos:
+            stack[-1].children.append(Text(html[pos : m.start()]))
+        pos = m.end()
+        end_tag, start_tag, attr_raw = m.group(1), m.group(2), m.group(3)
+        if start_tag is not None:
+            tag = start_tag.lower()
+            attrs, self_closing = _parse_attrs(attr_raw or "")
+            el = Element(tag, attrs)
+            stack[-1].children.append(el)
+            if not self_closing and tag not in _VOID_TAGS:
+                stack.append(el)
+        elif end_tag is not None:
+            tag = end_tag.lower()
+            for i in range(len(stack) - 1, 0, -1):
+                if stack[i].tag == tag:
+                    del stack[i:]
+                    break
+            # unmatched end tag: ignored (permissive)
+    if pos < len(html):
+        stack[-1].children.append(Text(html[pos:]))
+    return root
+
+
+def serialize(node: Node) -> str:
+    """Serialize a node back to an HTML string (xexp->html analogue)."""
+    if isinstance(node, Text):
+        return node.data
+    if node.tag == TOP:
+        return "".join(serialize(c) for c in node.children)
+    attrs = "".join(f' {k}="{v.replace(chr(34), "&quot;")}"' for k, v in node.attrs)
+    if node.tag in _VOID_TAGS and not node.children:
+        return f"<{node.tag}{attrs}>"
+    inner = "".join(serialize(c) for c in node.children)
+    return f"<{node.tag}{attrs}>{inner}</{node.tag}>"
+
+
+# ---------------------------------------------------------------- xpath
+
+# Supported grammar (the full surface used by the reference + its tests):
+#   path      := '(' path ')[' INT ']' | alt
+#   alt       := steps ('|' steps)*
+#   steps     := ('/' | '//') step ( ('/' | '//') step )*
+#   step      := test predicate*
+#   test      := NAME | '*' | '@' NAME | 'text()'
+#   predicate := '[' INT ']' | '[@' NAME '=' QUOTED ']'
+#              | '[text() =? QUOTED]' | '[position() OP INT]'
+
+
+@dataclass
+class _Step:
+    axis: str  # "child" | "desc"
+    test: str  # tag name | "*" | "@name" | "text()"
+    preds: list[tuple]
+
+
+_GROUP_IDX_RE = re.compile(r"^\((.*)\)\s*\[(\d+)\]$", re.S)
+_PRED_ATTR_RE = re.compile(r"^@([\w:-]+)\s*=\s*(?:'([^']*)'|\"([^\"]*)\")$")
+_PRED_TEXT_RE = re.compile(r"^text\(\)\s*=\s*(?:'([^']*)'|\"([^\"]*)\")$")
+_PRED_POS_RE = re.compile(r"^position\(\)\s*(>=|<=|>|<|=)\s*(\d+)$")
+
+
+def _split_top(s: str, sep: str) -> list[str]:
+    """Split on *sep* at bracket/quote depth 0."""
+    parts, depth, cur, q = [], 0, [], None
+    for ch in s:
+        if q:
+            if ch == q:
+                q = None
+            cur.append(ch)
+        elif ch in "'\"":
+            q = ch
+            cur.append(ch)
+        elif ch in "([":
+            depth += 1
+            cur.append(ch)
+        elif ch in ")]":
+            depth -= 1
+            cur.append(ch)
+        elif ch == sep and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return parts
+
+
+def _parse_steps(path: str) -> list[_Step]:
+    path = path.strip()
+    steps: list[_Step] = []
+    i = 0
+    n = len(path)
+    if not path.startswith("/"):
+        path = "/" + path  # tolerate relative form
+        n += 1
+    while i < n:
+        if path.startswith("//", i):
+            axis, i = "desc", i + 2
+        elif path.startswith("/", i):
+            axis, i = "child", i + 1
+        else:
+            raise ValueError(f"bad xpath step at {i}: {path!r}")
+        # read test + predicates up to next top-level '/'
+        j = i
+        depth = 0
+        q = None
+        while j < n:
+            ch = path[j]
+            if q:
+                if ch == q:
+                    q = None
+            elif ch in "'\"":
+                q = ch
+            elif ch == "[":
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+            elif ch == "/" and depth == 0:
+                break
+            j += 1
+        chunk = path[i:j]
+        i = j
+        preds: list[tuple] = []
+        # peel trailing [..] predicates
+        test = chunk
+        pred_strs: list[str] = []
+        while test.endswith("]"):
+            d = 0
+            for k in range(len(test) - 1, -1, -1):
+                if test[k] == "]":
+                    d += 1
+                elif test[k] == "[":
+                    d -= 1
+                    if d == 0:
+                        pred_strs.insert(0, test[k + 1 : -1])
+                        test = test[:k]
+                        break
+            else:
+                break
+        for p in pred_strs:
+            p = p.strip()
+            if p.isdigit():
+                preds.append(("index", int(p)))
+                continue
+            m = _PRED_ATTR_RE.match(p)
+            if m:
+                preds.append(("attr", m.group(1).lower(), m.group(2) if m.group(2) is not None else m.group(3)))
+                continue
+            m = _PRED_TEXT_RE.match(p)
+            if m:
+                preds.append(("text", m.group(1) if m.group(1) is not None else m.group(2)))
+                continue
+            m = _PRED_POS_RE.match(p)
+            if m:
+                preds.append(("pos", m.group(1), int(m.group(2))))
+                continue
+            raise ValueError(f"unsupported xpath predicate: {p!r}")
+        steps.append(_Step("desc" if axis == "desc" else "child", test.strip(), preds))
+    return steps
+
+
+def _attr_elements(el: Element) -> list[Element]:
+    # sxpath models an attribute as a tiny element (name (value)); modelling
+    # it the same way makes '@href/text()' work uniformly.
+    return [Element(k, [], [Text(v)]) for k, v in el.attrs]
+
+
+def _match_test(el_children: list[Node], ctx: Element, test: str) -> list[Node]:
+    if test == "text()":
+        return [c for c in el_children if isinstance(c, Text)]
+    if test.startswith("@"):
+        want = test[1:].lower()
+        return [a for a in _attr_elements(ctx) if a.tag == want]
+    if test == "*":
+        return [c for c in el_children if isinstance(c, Element)]
+    return [c for c in el_children if isinstance(c, Element) and c.tag == test]
+
+
+def _apply_preds(nodes: list[Node], preds: list[tuple]) -> list[Node]:
+    for p in preds:
+        kind = p[0]
+        if kind == "index":
+            nodes = [nodes[p[1] - 1]] if len(nodes) >= p[1] else []
+        elif kind == "pos":
+            op, k = p[1], p[2]
+            ops = {
+                ">": lambda i: i > k, "<": lambda i: i < k,
+                ">=": lambda i: i >= k, "<=": lambda i: i <= k,
+                "=": lambda i: i == k,
+            }[op]
+            nodes = [nd for i, nd in enumerate(nodes, 1) if ops(i)]
+        elif kind == "attr":
+            _, name, val = p
+            nodes = [
+                nd for nd in nodes
+                if isinstance(nd, Element) and any(k == name and v == val for k, v in nd.attrs)
+            ]
+        elif kind == "text":
+            want = p[1]
+            nodes = [
+                nd for nd in nodes
+                if isinstance(nd, Element)
+                and any(isinstance(c, Text) and c.data == want for c in nd.children)
+            ]
+    return nodes
+
+
+def _step_child(ctx: Element, step: _Step) -> list[Node]:
+    return _apply_preds(_match_test(ctx.children, ctx, step.test), step.preds)
+
+
+def _step_desc(ctx: Element, step: _Step) -> list[Node]:
+    """SSAX node-closure: breadth-first level-order descendant collection.
+
+    This (not document order) is what produces the reference's golden
+    ``links`` ordering (html/links.rkt:49-52: '("fee" "foo")').
+    """
+    out: list[Node] = []
+    level: list[Element] = [ctx]
+    while level:
+        for parent in level:
+            out.extend(_step_child(parent, step))
+        level = [
+            c for parent in level for c in parent.children if isinstance(c, Element)
+        ]
+    return out
+
+
+def _eval_steps(roots: list[Node], steps: list[_Step]) -> list[Node]:
+    ctx: list[Node] = roots
+    for step in steps:
+        nxt: list[Node] = []
+        for node in ctx:
+            if not isinstance(node, Element):
+                continue
+            if step.axis == "child":
+                nxt.extend(_step_child(node, step))
+            else:
+                nxt.extend(_step_desc(node, step))
+        ctx = nxt
+    return ctx
+
+
+def xpath_nodes(html: str, query: str) -> list[Node]:
+    query = query.strip()
+    m = _GROUP_IDX_RE.match(query)
+    group_idx: int | None = None
+    if m:
+        query, group_idx = m.group(1), int(m.group(2))
+    root = parse_html(html)
+    out: list[Node] = []
+    for alt in _split_top(query, "|"):
+        out.extend(_eval_steps([root], _parse_steps(alt)))
+    if group_idx is not None:
+        out = [out[group_idx - 1]] if len(out) >= group_idx else []
+    return out
+
+
+def xpath(html: str | list[str], query: str) -> list[str]:
+    """xpath.rkt:41-45 — matches re-serialized as HTML strings; list input
+    recurses per element, flattening."""
+    if isinstance(html, list):
+        out: list[str] = []
+        for sub in html:
+            out.extend(xpath(sub, query))
+        return out
+    return [n.data if isinstance(n, Text) else serialize(n) for n in xpath_nodes(html, query)]
+
+
+_TRIM_CHARS = " \t\n\r\f\v"
+
+
+def xpath_text(html: str | list[str], query: str) -> list[str]:
+    """xpath.rkt:47-49 — per match: join(direct text children) then trim;
+    empty nodes preserved as ''."""
+    return [
+        "".join(xpath(match, "/*/text()")).strip(_TRIM_CHARS)
+        for match in xpath(html, query)
+    ]
+
+
+def xpath_first(html: str | list[str], query: str, default=None):
+    """xpath.rkt:51-53."""
+    nodes = xpath(html, query)
+    return nodes[0] if nodes else default
+
+
+# ---------------------------------------------------------------- links
+
+def links(html: str, url_regex: str = ".") -> list[str]:
+    """links.rkt:33-35 — hrefs (BFS order) matching *url_regex* (search)."""
+    rx = re.compile(url_regex)
+    return [u for u in xpath(html, "//a/@href/text()") if rx.search(u)]
+
+
+def links_text(html: str, text_regex: str) -> list[str]:
+    """links.rkt:37-43 — hrefs of <a> whose link text matches *text_regex*."""
+    rx = re.compile(text_regex)
+    out: list[str] = []
+    for link in xpath(html, "//a"):
+        if rx.search(xpath_first(link, "/a/text()", "")):
+            href = xpath_first(link, "/a/@href/text()")
+            if href is not None:
+                out.append(href)
+    return out
+
+
+# ---------------------------------------------------------------- forms
+
+Form = tuple[str, str, list[tuple[str, str]]]
+
+
+def _car_or(lst: list, default):
+    return lst[0] if lst else default
+
+
+def form_fill(form: str | Form, data=()) -> Form:
+    """forms.rkt:46-53 — fill a form (html string or already-extracted form)
+    with *data*; user pairs win via first-occurrence dedup on key."""
+    if isinstance(form, str):
+        form = _form_to_list(form)
+    action, method, fields = form
+    data_pairs = list(data.items()) if isinstance(data, dict) else list(data)
+    merged = data_pairs + list(fields)
+    seen: set[str] = set()
+    out: list[tuple[str, str]] = []
+    for k, v in merged:
+        if k not in seen:
+            seen.add(k)
+            out.append((k, v))
+    return (action, method, out)
+
+
+def forms(html: str | list[str], data=()) -> list[Form]:
+    """forms.rkt:55-58 — extract every <form>, filled with *data*."""
+    if isinstance(html, list):
+        out: list[Form] = []
+        for sub in html:
+            out.extend(forms(sub, data))
+        return out
+    return [form_fill(f, data) for f in xpath(html, "//form")]
+
+
+def _form_to_list(form_html: str) -> Form:
+    action = html_decode_star(_car_or(xpath(form_html, "/form/@action/text()"), ""))
+    method = _car_or(xpath(form_html, "/form/@method/text()"), "POST").upper()
+    fields: list[tuple[str, str]] = []
+    for inp in xpath(form_html, "/form//input"):
+        name = xpath_nodes(inp, "/input/@name/text() | /input/@id/text()")
+        if not name:
+            continue
+        value = _car_or(xpath(inp, "/input/@value/text()"), "")
+        fields.append((name[0].data if isinstance(name[0], Text) else serialize(name[0]), value))
+    return ("" if action is None else action, method, fields)
+
+
+# ------------------------------------------------------- page-level kernel
+
+def page_text(html: str) -> str:
+    """THE canonical HTML→text extraction for the pages table's ``text``
+    column: xpath/text over every <p>, newline-joined. Byte-identical between
+    the oracle and the Spark UDFs because both call this function."""
+    return "\n".join(xpath_text(html, "//p"))
+
+
+def page_title(html: str) -> str:
+    return xpath_first(html, "//title/text()", "") or ""

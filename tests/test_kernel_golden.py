@@ -1,0 +1,250 @@
+"""Golden tests lifted verbatim from the reference's rackunit literals.
+
+Every expected value below is a literal from a ``module+ test`` block in
+/root/reference/ (cited per test). These ARE the reference's own test suite,
+re-expressed in pytest per BASELINE.json input_hint ("verified against
+Boris's own test suite via `python -m pytest -x -q`").
+"""
+
+from boris_spark.kernel import (
+    canonicalize,
+    forms,
+    form_fill,
+    html_decode,
+    html_decode_star,
+    links,
+    links_text,
+    parse_url,
+    resolve,
+    xpath,
+    xpath_first,
+    xpath_text,
+)
+from boris_spark.kernel.urlkit import path_query_fragment, path_string
+
+
+# ---- hypertext-browser/url.rkt:59-67 ----------------------------------
+
+
+def _pqf(u: str) -> str:
+    return path_query_fragment(parse_url(u))
+
+
+def test_url_path_string_empty():
+    # url.rkt:61
+    assert path_string(parse_url("http://foo.com")) == "/"
+
+
+def test_url_pqf_query_fragment():
+    # url.rkt:62 — query not re-encoded, space + '?' preserved in value
+    assert _pqf("http://foo.com/bar?baz=f i?#fo") == "/bar?baz=f i?#fo"
+
+
+def test_url_pqf_query_only():
+    # url.rkt:63
+    assert _pqf("http://foo.com/bar?baz=f i?") == "/bar?baz=f i?"
+
+
+def test_url_pqf_bare_host():
+    # url.rkt:64-65
+    assert _pqf("http://foo.com") == "/"
+    assert _pqf("http://foo.com/") == "/"
+
+
+def test_url_pqf_trailing_slash():
+    # url.rkt:66-67
+    assert _pqf("http://foo.com/bar/") == "/bar/"
+    assert _pqf("http://foo.com/bar") == "/bar"
+
+
+def test_canonicalize_drops_port_and_userinfo():
+    # url.rkt:37-38: url->string/raw = scheme "://" host path... —
+    # port and userinfo never appear.
+    assert canonicalize("http://user:pw@foo.com:8080/bar") == "http://foo.com/bar"
+
+
+def test_canonicalize_empty_query_list():
+    # url.rkt:44: '?' with empty parsed query list renders as nothing
+    assert canonicalize("http://foo.com/bar?") == "http://foo.com/bar"
+
+
+def test_canonicalize_trims_whitespace():
+    # url.rkt:34-35 note: string->url should trim whitespace
+    assert canonicalize("  http://foo.com/bar \n") == "http://foo.com/bar"
+
+
+def test_resolve_relative():
+    # hypertext-browser/main.rkt:31-36: scheme-less resolves against current
+    assert resolve("http://foo.com/a/b", "c") == "http://foo.com/a/c"
+    assert resolve("http://foo.com/a/b", "/c") == "http://foo.com/c"
+    assert resolve("http://foo.com/a/b", "http://bar.com/x") == "http://bar.com/x"
+    assert resolve(None, "http://bar.com/x") == "http://bar.com/x"
+
+
+# ---- hypertext-browser/html/html-entities.rkt:51-54 --------------------
+
+
+def test_html_decode():
+    assert html_decode("&#38;") == "&"
+
+
+def test_html_decode_star():
+    assert html_decode_star("&#38;#38;") == "&"
+
+
+def test_html_decode_unknown_entity_intact():
+    # html-entities.rkt:35-41 — table has exactly 4 entries; unknown intact
+    assert html_decode("&lt;") == "&lt;"
+    assert html_decode("&amp;") == "&"
+    assert html_decode("&#x3a;") == ":"
+    assert html_decode("&#x2f;") == "/"
+
+
+# ---- hypertext-browser/html/xpath.rkt:57-83 ----------------------------
+
+TEST_HTML = "<span><p><b>p1</b></p><p><b>p2</b></p><p><b>p3</b></p></span>"
+
+
+def test_xpath_p():
+    assert xpath(TEST_HTML, "//p") == [
+        "<p><b>p1</b></p>", "<p><b>p2</b></p>", "<p><b>p3</b></p>",
+    ]
+
+
+def test_xpath_b():
+    assert xpath(TEST_HTML, "//b") == ["<b>p1</b>", "<b>p2</b>", "<b>p3</b>"]
+
+
+def test_xpath_list_input():
+    assert xpath(xpath(TEST_HTML, "//p"), "//b") == [
+        "<b>p1</b>", "<b>p2</b>", "<b>p3</b>",
+    ]
+
+
+def test_xpath_list_input_flatten():
+    # xpath.rkt:71
+    assert xpath(
+        xpath("<p><b>b1</b><b>b2</b></p><p><b>pb3</b><b>b4</b></p>", "//p"), "//b"
+    ) == ["<b>b1</b>", "<b>b2</b>", "<b>pb3</b>", "<b>b4</b>"]
+
+
+def test_xpath_empty_text_skipped():
+    # xpath.rkt:73
+    assert xpath("<p></p><p></p>", "//p/text()") == []
+
+
+def test_xpath_text_preserves_empty():
+    # xpath.rkt:76
+    assert xpath_text("<p></p><p></p>", "//p") == ["", ""]
+
+
+def test_xpath_text_direct_children_only():
+    # xpath/text takes only *direct* text children (query "/*/text()",
+    # xpath.rkt:47-49): nested markup yields "".
+    assert xpath_text("<p><b>x</b></p>", "//p") == [""]
+    assert xpath_text("<p>hi</p>", "//p") == ["hi"]
+    assert xpath_text("<p>  hi \n</p>", "//p") == ["hi"]
+
+
+def test_xpath_first():
+    # xpath.rkt:79-83
+    assert xpath_first(TEST_HTML, "//b/text()") == "p1"
+    assert xpath_first(TEST_HTML, "/foo") is None
+    assert xpath_first(TEST_HTML, "/foo", "bar") == "bar"
+
+
+# ---- hypertext-browser/html/links.rkt:47-57 ----------------------------
+
+LINKS_HTML = "<p><a href='foo'>bar</a></p><a href='fee'>baz</a>"
+
+
+def test_links_bfs_order():
+    # links.rkt:52 golden — BFS level-order, NOT document order
+    assert links(LINKS_HTML) == ["fee", "foo"]
+
+
+def test_links_regex():
+    assert links(LINKS_HTML, "fo") == ["foo"]
+    assert links(LINKS_HTML, "fe") == ["fee"]
+
+
+def test_links_text():
+    assert links_text(LINKS_HTML, "bar") == ["foo"]
+
+
+# ---- hypertext-browser/html/forms.rkt:89-104 ---------------------------
+
+FORM = (
+    "<form action=/foo/bar method=put>"
+    "<input id=foo name=baz value='bar'></input>"
+    "<input name=foo value=biz></input></form>"
+)
+
+
+def test_form_fill():
+    assert form_fill(FORM, [("foo", "bez")]) == (
+        "/foo/bar", "PUT", [("foo", "bez"), ("baz", "bar")],
+    )
+
+
+def test_form_fill_twice():
+    assert form_fill(form_fill(FORM, [("foo", "bez")]), [("fii", "biiz")]) == (
+        "/foo/bar", "PUT", [("fii", "biiz"), ("foo", "bez"), ("baz", "bar")],
+    )
+
+
+def test_forms_concatenated():
+    assert forms(FORM + FORM, [("foo", "bez")]) == [
+        ("/foo/bar", "PUT", [("foo", "bez"), ("baz", "bar")]),
+        ("/foo/bar", "PUT", [("foo", "bez"), ("baz", "bar")]),
+    ]
+
+
+def test_forms_list_input():
+    assert forms([FORM, FORM]) == [
+        ("/foo/bar", "PUT", [("baz", "bar"), ("foo", "biz")]),
+        ("/foo/bar", "PUT", [("baz", "bar"), ("foo", "biz")]),
+    ]
+
+
+# ---- utils/emd/emd.rkt + predicates used by the demo crawls ------------
+
+
+def test_xpath_attr_predicate():
+    html = "<td class='title'><a href='u1'>t1</a></td><td class='x'><a href='u2'>t2</a></td>"
+    assert xpath(html, "//td[@class='title']/a/@href/text()") == ["u1"]
+
+
+def test_xpath_group_index():
+    # hn-crawl.rkt:8: (//td[@class='title']/a/@href/text())[1]
+    html = "<td class='title'><a href='u1'>t1</a></td><td class='title'><a href='u2'>t2</a></td>"
+    assert xpath(html, "(//td[@class='title']/a/@href/text())[1]") == ["u1"]
+
+
+def test_xpath_text_eq_predicate():
+    # hn-crawl.rkt:31: //td[@class='title']/a[text() = 'More']/@href/text()
+    html = (
+        "<td class='title'><a href='next'>More</a></td>"
+        "<td class='title'><a href='u1'>story</a></td>"
+    )
+    assert xpath(html, "//td[@class='title']/a[text() = 'More']/@href/text()") == ["next"]
+
+
+def test_xpath_position_predicates():
+    # wiki-crawl.rkt:23: //div[@id='x']/ul[position()>1]/li/a[1]/@href/text()
+    html = (
+        "<div id='x'>"
+        "<ul><li><a href='skip'>s</a></li></ul>"
+        "<ul><li><a href='a1'>x</a><a href='a2'>y</a></li>"
+        "<li><a href='b1'>z</a></li></ul>"
+        "</div>"
+    )
+    assert xpath(html, "//div[@id='x']/ul[position()>1]/li/a[1]/@href/text()") == [
+        "a1", "b1",
+    ]
+
+
+def test_xpath_union_order():
+    # forms.rkt:81: "/input/@name/text() | /input/@id/text()" — name first
+    inp = '<input id="foo" name="baz" value="bar">'
+    assert xpath(inp, "/input/@name/text() | /input/@id/text()") == ["baz", "foo"]
