@@ -1,0 +1,388 @@
+"""The distributed URL-frontier crawl engine: round-based DataFrame jobs.
+
+Each crawl round is one deterministic DataFrame job over the whole frontier
+level (the breadth-parallel inversion of the reference's depth-first
+interpreter, /root/reference/boris/interpreter.rkt:54-59 — see SURVEY.md §3):
+
+1. frontier scan (request rows carried from the previous round);
+2. per-URL priority = min lexicographic ``path_key`` (DFS priority — the
+   dequeue sequence equals the order the reference would first reach each
+   URL);
+3. seen filter: Bloom-shard prefilter then exact anti-join on
+   ``(url_hash, url_canon)`` — the distributed form of the fetch-memoization
+   cache keyed by the canonical URL
+   (/root/reference/boris/interpreter/browser-services.rkt:35-47);
+4. politeness dequeue: top-k per host per round via a two-phase salted
+   window (phase 1 bounds any hot host to salt×k survivors, phase 2 is the
+   exact top-k) — skew-safe where a naive ``Window.partitionBy(host)`` would
+   funnel the hottest host through one task;
+5. fetch: snapshot fetch = join against the pages table (the deterministic
+   analogue of request->response, /root/reference/hypertext-browser/http.rkt:124-136);
+   over-budget URLs defer to the next round — ordering parity is unaffected
+   because results order is path_key order, which is budget-invariant;
+6. fan-out + apply cascade: fetched states fan to child program nodes
+   (broadcast join against the tiny node table), then non-fetch nodes
+   (extract/bind/jump) evaluate in Arrow batches until only new fetch
+   requests remain;
+7. sinks + checkpoint: results/discoveries/seen deltas append as parquet
+   "snapshots" with a per-round JSON manifest carrying per-partition lineage
+   and fetch/extract metrics — the crawl is resumable from any round
+   (the reference's fs-dict persistence, /root/reference/persistent/main.rkt:37-67).
+
+Parquet + manifest stands in for Iceberg snapshots in this sandbox (no
+Iceberg runtime jar is available); the table layout (append-only deltas +
+round manifests, partition column ``round``) maps 1:1 onto Iceberg
+snapshot/lineage semantics on a real cluster.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..oracle import program as P
+from .bloom import BloomShardStore
+from .compiler import NodeSpec, compile_program
+from .udfs import CASCADE_SCHEMA, make_cascade_fn
+
+REQUEST_SCHEMA = (
+    "pc long, url_canon string, url_hash long, host string, "
+    "referer string, method string, bindings string, path_key string"
+)
+APPLY_SCHEMA = "pc long, cur_url string, bindings string, path_key string"
+
+_REQ_COLS = ["pc", "url_canon", "url_hash", "host", "referer", "method", "bindings", "path_key"]
+
+
+@dataclass
+class CrawlSummary:
+    rounds: int
+    fetched: int
+    results: int
+    wall_s: float
+    fetch_throughput: float  # urls fetched+extracted / sec
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        pages_df: DataFrame,
+        workdir: str,
+        politeness_k: int | None = 64,
+        n_buckets: int = 32,
+        salt_parts: int = 8,
+        use_bloom: bool = True,
+        bloom_bits: int = 1 << 17,
+    ):
+        self.spark = spark
+        self.workdir = workdir
+        self.politeness_k = politeness_k
+        self.n_buckets = n_buckets
+        self.salt_parts = salt_parts
+        self.use_bloom = use_bloom
+        self.bloom = BloomShardStore(n_buckets, bloom_bits) if use_bloom else None
+        os.makedirs(workdir, exist_ok=True)
+        # snapshot "fetcher": pages keyed by canonical url; html may be binary
+        html_col = pages_df.schema["html"].dataType.simpleString()
+        body = F.col("html").cast("string") if html_col == "binary" else F.col("html")
+        self.pages = (
+            pages_df.select(
+                F.col("url").alias("url_canon"),
+                body.alias("body"),
+            )
+            .persist()
+        )
+
+    # ------------------------------------------------------------ helpers
+
+    def _path(self, *parts: str) -> str:
+        return os.path.join(self.workdir, *parts)
+
+    def _append(self, df: DataFrame, sink: str, rnd: int) -> None:
+        df.write.mode("overwrite").parquet(self._path(sink, f"round={rnd}"))
+
+    def _read_sink(self, sink: str) -> DataFrame | None:
+        path = self._path(sink)
+        if not os.path.isdir(path):
+            return None
+        return self.spark.read.option("basePath", path).parquet(path + "/round=*")
+
+    def _empty(self, schema: str) -> DataFrame:
+        return self.spark.createDataFrame([], schema)
+
+    # -------------------------------------------------------------- run
+
+    def run(self, root: P.Node, max_rounds: int = 1000, resume: bool = False) -> CrawlSummary:
+        t0 = time.time()
+        self.node_table = compile_program(root)
+        self._cascade_fn = make_cascade_fn(self.node_table)
+        child_rows = [
+            (pc, j, c)
+            for pc, spec in self.node_table.items()
+            for j, c in enumerate(spec.child_ids)
+        ]
+        self.child_map = self.spark.createDataFrame(
+            child_rows or [(-1, -1, -1)], "pc long, j int, child_pc long"
+        )
+
+        start_round = 0
+        if resume:
+            start_round = self._resume_round()
+            if self.bloom is not None and start_round > 0:
+                # Bloom shards are in-memory state: rebuild from the seen
+                # snapshots so the prefilter has no false negatives after a
+                # restart (a stale bloom would mark seen URLs "definitely
+                # new" and re-fetch them).
+                seen = self._read_sink("seen")
+                if seen is not None:
+                    self.bloom.add_delta(seen.select("bucket", "url_hash").toPandas())
+        if start_round == 0:
+            init = self.spark.createDataFrame(
+                [(root.node_id, None, None, "")], APPLY_SCHEMA
+            )
+            requests, n_init_results = self._cascade(init, rnd=0)
+            self._checkpoint_frontier(requests, 0)
+        requests = self.spark.read.parquet(self._path("frontier", f"round={start_round}"))
+
+        rnd = start_round
+        total_fetched = 0
+        total_results = 0
+        while rnd < max_rounds:
+            n_req = requests.count()
+            if n_req == 0:
+                break
+            rt0 = time.time()
+            requests, fetched, n_results, metrics = self._round(requests, rnd)
+            total_fetched += fetched
+            total_results += n_results
+            metrics.update(
+                round=rnd, requests=n_req, wall_s=round(time.time() - rt0, 3)
+            )
+            self._write_manifest(rnd, metrics)
+            rnd += 1
+
+        wall = time.time() - t0
+        return CrawlSummary(
+            rounds=rnd,
+            fetched=total_fetched,
+            results=total_results,
+            wall_s=wall,
+            fetch_throughput=total_fetched / wall if wall else 0.0,
+        )
+
+    # ------------------------------------------------------------- rounds
+
+    def _round(self, requests: DataFrame, rnd: int):
+        requests = requests.persist()
+
+        # discoveries sink: every (url, path) reach — min path per url is the
+        # reference's first-visit order (DFS pre-order = lex path order)
+        self._append(
+            requests.select("url_canon", "url_hash", "path_key"), "discoveries", rnd
+        )
+
+        # one fetch candidate per distinct url, priority = lex-min path_key
+        urls = requests.groupBy("url_canon").agg(
+            F.min("path_key").alias("pk"),
+            F.first("url_hash").alias("url_hash"),
+            F.first("host").alias("host"),
+        )
+
+        unseen = self._filter_unseen(urls)
+
+        # politeness: top-k per host per round, two-phase salted (skew-safe)
+        if self.politeness_k is not None:
+            k = self.politeness_k
+            salted = unseen.withColumn(
+                "salt", F.pmod(F.col("url_hash"), F.lit(self.salt_parts))
+            )
+            w1 = Window.partitionBy("host", "salt").orderBy("pk")
+            w2 = Window.partitionBy("host").orderBy("pk")
+            selected = (
+                salted.withColumn("rn", F.row_number().over(w1))
+                .where(F.col("rn") <= k)
+                .withColumn("rn2", F.row_number().over(w2))
+                .where(F.col("rn2") <= k)
+                .drop("rn", "rn2", "salt")
+            )
+        else:
+            selected = unseen
+
+        # fetch = join the snapshot pages table (missing page → 404, empty body)
+        fetched = (
+            selected.join(self.pages, "url_canon", "left")
+            .withColumn("status", F.when(F.col("body").isNull(), 404).otherwise(200))
+            .withColumn("bucket", F.pmod(F.col("url_hash"), F.lit(self.n_buckets)).cast("int"))
+            .persist()
+        )
+        n_fetched = fetched.count()
+
+        seen_delta = fetched.select(
+            "url_hash", "url_canon", "host", "bucket", "status",
+            F.col("pk").alias("path_first"),
+        )
+        self._append(seen_delta, "seen", rnd)
+        if self.bloom is not None:
+            self.bloom.add_delta(
+                fetched.select("bucket", "url_hash").toPandas()
+            )
+
+        # per-partition lineage metrics (hosts × fetch counts per bucket)
+        lineage = [
+            {"bucket": r["bucket"], "fetched": r["cnt"], "hosts": r["hosts"]}
+            for r in fetched.groupBy("bucket")
+            .agg(F.count("*").alias("cnt"), F.countDistinct("host").alias("hosts"))
+            .collect()
+        ]
+
+        # requests whose url is now in the seen set proceed; rest defer
+        seen_now = self._read_sink("seen").select("url_canon").distinct()
+        ok = requests.join(seen_now, "url_canon", "left_semi")
+        deferred = requests.join(seen_now, "url_canon", "left_anti")
+
+        # fan to children of the navigate node: broadcast join on tiny node map
+        apply0 = (
+            ok.join(F.broadcast(self.child_map), "pc")
+            .select(
+                F.col("child_pc").alias("pc"),
+                F.col("url_canon").alias("cur_url"),
+                "bindings",
+                F.concat("path_key", F.format_string("%08x", F.col("j"))).alias("path_key"),
+            )
+        )
+
+        # results-sink keys: (rnd+1)*1000+gen — the pre-round init cascade
+        # owns the 0..999 key space
+        new_requests, n_results = self._cascade(apply0, rnd + 1)
+        frontier_next = new_requests.unionByName(
+            deferred.select(*_REQ_COLS)
+        )
+        n_deferred = deferred.count()
+        self._checkpoint_frontier(frontier_next, rnd + 1)
+        frontier_next = self.spark.read.parquet(self._path("frontier", f"round={rnd + 1}"))
+
+        requests.unpersist()
+        fetched.unpersist()
+        metrics = {
+            "fetched": n_fetched,
+            "deferred": n_deferred,
+            "results": n_results,
+            "partitions": lineage,
+        }
+        return frontier_next, n_fetched, n_results, metrics
+
+    def _filter_unseen(self, urls: DataFrame) -> DataFrame:
+        seen = self._read_sink("seen")
+        if seen is None:
+            return urls
+        seen_keys = seen.select("url_hash", "url_canon")
+        if self.bloom is not None and self.bloom.shards:
+            bloom = self.bloom
+
+            def flag(batches):
+                import pandas as pd  # noqa: F401
+
+                for pdf in batches:
+                    pdf = pdf.copy()
+                    pdf["maybe_seen"] = bloom.filter_frame(
+                        pdf.assign(bucket=pdf["url_hash"] % bloom.n_buckets)
+                    )
+                    yield pdf
+
+            flagged = urls.mapInPandas(
+                flag,
+                urls.schema.simpleString().replace("struct<", "").rstrip(">").replace(":", " ")
+                + ", maybe_seen boolean",
+            ).persist()
+            definitely_new = flagged.where(~F.col("maybe_seen")).drop("maybe_seen")
+            maybe = flagged.where(F.col("maybe_seen")).drop("maybe_seen")
+            checked = maybe.join(seen_keys, ["url_hash", "url_canon"], "left_anti")
+            return definitely_new.unionByName(checked)
+        return urls.join(seen_keys, ["url_hash", "url_canon"], "left_anti")
+
+    def _cascade(self, apply_df: DataFrame, rnd: int):
+        """Evaluate non-fetch nodes to fixpoint; returns (requests, n_results)."""
+        requests_acc = self._empty(REQUEST_SCHEMA)
+        n_results = 0
+        gen = 0
+        while True:
+            if apply_df.isEmpty():
+                break
+            gen += 1
+            if gen > 200:
+                raise RuntimeError("cascade depth exceeded (fetch-free recur loop?)")
+            with_body = apply_df.join(
+                self.pages.withColumnRenamed("url_canon", "cur_url"), "cur_url", "left"
+            ).select("pc", "cur_url", F.coalesce("body", F.lit("")).alias("body"),
+                     "bindings", "path_key")
+            out = with_body.mapInPandas(self._cascade_fn, CASCADE_SCHEMA).persist()
+            results = out.where(F.col("kind") == "result").select(
+                "path_key", "value", "vkind"
+            )
+            downloads = out.where(F.col("kind") == "download").select(
+                "path_key", F.col("cur_url").alias("url"), "value"
+            )
+            self._append(results, "results", rnd * 1000 + gen)
+            if not downloads.isEmpty():
+                self._append(downloads, "downloads", rnd * 1000 + gen)
+            n_results += results.count()
+            requests_acc = requests_acc.unionByName(
+                out.where(F.col("kind") == "request").select(*_REQ_COLS)
+            )
+            apply_df = out.where(F.col("kind") == "apply").select(
+                "pc", "cur_url", "bindings", "path_key"
+            )
+        return requests_acc, n_results
+
+    # ------------------------------------------------------- checkpointing
+
+    def _checkpoint_frontier(self, df: DataFrame, rnd: int) -> None:
+        (
+            df.repartition(self.spark.sparkContext.defaultParallelism, "host")
+            .write.mode("overwrite")
+            .parquet(self._path("frontier", f"round={rnd}"))
+        )
+
+    def _write_manifest(self, rnd: int, metrics: dict) -> None:
+        os.makedirs(self._path("rounds"), exist_ok=True)
+        with open(self._path("rounds", f"{rnd}.json"), "w") as f:
+            json.dump(metrics, f)
+
+    def _resume_round(self) -> int:
+        rounds_dir = self._path("rounds")
+        if not os.path.isdir(rounds_dir):
+            return 0
+        done = sorted(
+            int(f.split(".")[0]) for f in os.listdir(rounds_dir) if f.endswith(".json")
+        )
+        return (done[-1] + 1) if done else 0
+
+    # ------------------------------------------------------------ readers
+
+    def results_df(self) -> DataFrame:
+        df = self._read_sink("results")
+        return df.orderBy("path_key") if df is not None else self._empty(
+            "path_key string, value string, vkind string"
+        )
+
+    def seen_df(self) -> DataFrame:
+        df = self._read_sink("seen")
+        return df if df is not None else self._empty(
+            "url_hash long, url_canon string, host string, bucket int, status int, path_first string"
+        )
+
+    def visit_order_df(self) -> DataFrame:
+        """URLs in reference first-visit order: lex-min discovery path."""
+        disc = self._read_sink("discoveries")
+        assert disc is not None
+        return (
+            disc.groupBy("url_canon")
+            .agg(F.min("path_key").alias("first_path"))
+            .orderBy("first_path")
+        )
