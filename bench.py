@@ -1,0 +1,145 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline crawl throughput + query suite.
+
+Runs (a) the distributed frontier crawl over a deterministic synthetic
+Common-Crawl-style corpus (the BASELINE.json metric: URLs fetched+extracted
+per second per crawl round) and (b) the headline analytic queries at
+$SPARK_GRAFT_SF_DIR, on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "crawl": {"urls_per_sec": ..., "fetched": ..., "rounds": ...}}
+
+The same harness at two parallelism levels (SPARK_GRAFT_CPUS=8 vs 32) is the
+sandbox proxy for the N→4N executor scaling criterion — see
+scripts/scaling_bench.py and BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "tpch_q1",
+    "frontier_topk_salted",
+    "seen_anti_join",
+    "frontier_merge_dedup",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "doc_fingerprint",
+    "token_count",
+    "lang_id",
+    "quality_score",
+    "ann_cosine_topk",
+    "ann_lsh_bucketed",
+    "events_sessionize",
+    "tpch_q3_revenue",
+    "url_canonicalize",
+]
+
+
+def build_corpus(spark, n_pages: int, seed: int, path: str):
+    """Generate the synthetic corpus in parallel (mapInPandas over id ranges)
+    and cache it as parquet — deterministic in (n_pages, seed)."""
+    if os.path.isdir(path):
+        return
+    from boris_spark.synth import webgen
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = [webgen.page_row(int(p), n_pages, seed) for p in pdf["id"]]
+            yield pd.DataFrame(rows)
+
+    (
+        spark.range(n_pages)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(gen, "url string, warc_ts timestamp, html binary, text string, lang string")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def crawl_bench(spark, n_pages: int, workdir: str) -> dict:
+    from boris_spark.engine.crawler import CrawlEngine
+    from boris_spark.oracle.program import Extract, Go, Lit, PageFeaturesE, XpathE
+    from boris_spark.synth import webgen
+
+    seed = 42
+    corpus_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".bench_data", f"pages_{n_pages}_{seed}"
+    )
+    build_corpus(spark, n_pages, seed, corpus_path)
+    pages = spark.read.parquet(corpus_path)
+
+    seeds = [webgen.page_url(i, n_pages, seed) for i in range(0, n_pages, 16)]
+    links_q = XpathE("//td[@class='title']/a/@href/text()")
+    feat = Extract(PageFeaturesE())
+    program = Go(
+        Lit(seeds), feat,
+        Go(links_q, feat, Go(links_q, feat)),
+    )
+    eng = CrawlEngine(
+        spark, pages, workdir,
+        politeness_k=int(os.environ.get("BORIS_POLITENESS_K", "20000")),
+        n_buckets=64, use_bloom=True,
+    )
+    t0 = time.time()
+    summary = eng.run(program, max_rounds=32)
+    wall = time.time() - t0
+    return {
+        "pages": n_pages,
+        "fetched": summary.fetched,
+        "extractions": summary.results,
+        "rounds": summary.rounds,
+        "crawl_sec": round(wall, 2),
+        "urls_per_sec": round(summary.fetched / wall, 1),
+    }
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_pages = int(os.environ.get("BORIS_BENCH_PAGES", "60000"))
+
+    from boris_spark.engine.session import get_spark
+    from boris_spark.ops.queries import QUERIES
+
+    spark = get_spark("boris-bench", cores=cpus)
+    t_total = time.time()
+
+    import tempfile
+
+    crawl = crawl_bench(spark, n_pages, tempfile.mkdtemp(prefix="boris_bench_"))
+
+    times = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        df = QUERIES[name](spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        times[name] = round(time.time() - t0, 3)
+
+    total = round(time.time() - t_total, 2)
+    out = {
+        "metric": "crawl+query suite wall (crawl.urls_per_sec is the headline crawl rate)",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf_dir.rstrip("/").split("sf")[-1],
+        "cpus": cpus,
+        "crawl": crawl,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

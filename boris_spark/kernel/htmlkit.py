@@ -372,16 +372,31 @@ def _eval_steps(roots: list[Node], steps: list[_Step]) -> list[Node]:
     return ctx
 
 
+from functools import lru_cache as _lru_cache
+
+
+@_lru_cache(maxsize=256)
+def _parse_cached(html: str) -> Element:
+    # Hot path: one crawl batch applies several selectors to the same page;
+    # the tree is never mutated by queries, so parses are shareable.
+    return parse_html(html)
+
+
+@_lru_cache(maxsize=1024)
+def _steps_cached(alt: str):
+    return _parse_steps(alt)
+
+
 def xpath_nodes(html: str, query: str) -> list[Node]:
     query = query.strip()
     m = _GROUP_IDX_RE.match(query)
     group_idx: int | None = None
     if m:
         query, group_idx = m.group(1), int(m.group(2))
-    root = parse_html(html)
+    root = _parse_cached(html)
     out: list[Node] = []
     for alt in _split_top(query, "|"):
-        out.extend(_eval_steps([root], _parse_steps(alt)))
+        out.extend(_eval_steps([root], _steps_cached(alt)))
     if group_idx is not None:
         out = [out[group_idx - 1]] if len(out) >= group_idx else []
     return out
@@ -486,6 +501,17 @@ def _form_to_list(form_html: str) -> Form:
 
 
 # ------------------------------------------------------- page-level kernel
+
+def page_features(html: str) -> list:
+    """One-parse page featurization for the fetch+extract hot path: the
+    selectors a crawl round typically needs (title text, body text, link
+    hrefs, token count) computed off a single shared parse (the lru parse
+    cache makes the separate xpath calls below hit one tree)."""
+    title = xpath_first(html, "//title/text()", "") or ""
+    text = page_text(html)
+    hrefs = links(html)
+    return [title, text, len(hrefs), len(text.split())]
+
 
 def page_text(html: str) -> str:
     """THE canonical HTML→text extraction for the pages table's ``text``

@@ -1,0 +1,827 @@
+"""The engine's query surface: every operator as a named (Spark, SQL-oracle)
+pair over the driver's testdata tables.
+
+Each entry maps one stage of the crawl round (SURVEY.md §2f) or one
+training-data pipeline operator onto (a) an idiomatic-Spark DataFrame job and
+(b) an equivalent ANSI-SQL string DuckDB can run on the same parquet — the
+driver's correctness gate. Column names/types are aligned on both sides;
+floating aggregates are rounded to pin the value-hash.
+
+Scale notes are inline per query: what broadcasts, what shuffles on what key,
+and which plan survives 100×.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..engine.crawler import CrawlEngine
+from ..oracle.program import (
+    Extract, First, Go, Label, ListE, Recur, UrlE, XpathE, XpathTextE,
+)
+from ..synth.webgen import DOC_HOSTS
+
+QUERIES: dict[str, callable] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def q(name: str, sql: str | None = None):
+    def reg(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE_SQL[name] = sql
+        return fn
+
+    return reg
+
+
+# =====================================================================
+# Crawl-engine queries (the flagship): distributed frontier crawl over a
+# pages table derived deterministically from `documents`, SQL-oracled via a
+# recursive CTE on the closed-form link graph.
+# =====================================================================
+
+CRAWL_SEED_DOC = 1  # subtree of doc 1 → non-trivial reachable set
+
+_REACH_CTE = f"""
+WITH RECURSIVE reach(id) AS (
+    SELECT CAST({CRAWL_SEED_DOC} AS BIGINT)
+    UNION
+    SELECT c FROM (
+        SELECT 2*id+1 AS c FROM reach
+        UNION ALL
+        SELECT 2*id+2 AS c FROM reach
+    ) WHERE c < (SELECT count(*) FROM documents)
+)
+"""
+
+_URL_EXPR_SQL = f"'http://h' || (id % {DOC_HOSTS}) || '.docs.test/d/' || id"
+
+
+def build_doc_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pages table (url, html) derived from `documents` — all JVM-side
+    string concat (whole-stage codegen), no UDF. The single <p> holds the
+    document text verbatim, so kernel.page_text(html) == text exactly."""
+    docs = T(spark, sf_dir, "documents")
+    n = docs.count()
+    uid = lambda c: F.concat(  # noqa: E731
+        F.lit("http://h"), F.pmod(c, F.lit(DOC_HOSTS)).cast("string"),
+        F.lit(".docs.test/d/"), c.cast("string")
+    )
+    anchor = lambda c: F.when(  # noqa: E731
+        c < n,
+        F.concat(F.lit("<td class='title'><a href='"), uid(c),
+                 F.lit("'>doc "), c.cast("string"), F.lit("</a></td>")),
+    ).otherwise(F.lit(""))
+    d = F.col("doc_id")
+    return docs.select(
+        uid(d).alias("url"),
+        F.concat(
+            F.lit("<html><head><title>doc "), d.cast("string"),
+            F.lit("</title></head><body><p>"),
+            F.col("text"), F.lit("</p>"),
+            anchor(2 * d + 1), anchor(2 * d + 2),
+            F.lit("</body></html>"),
+        ).alias("html"),
+    )
+
+
+_crawl_cache: dict[str, tuple] = {}
+
+
+def _run_doc_crawl(spark: SparkSession, sf_dir: str):
+    """Run the frontier engine once per sf_dir; memoized (several queries
+    read different projections of one crawl)."""
+    key = os.path.abspath(sf_dir)
+    if key in _crawl_cache:
+        return _crawl_cache[key]
+    pages = build_doc_pages(spark, sf_dir)
+    seed = f"http://h{CRAWL_SEED_DOC % DOC_HOSTS}.docs.test/d/{CRAWL_SEED_DOC}"
+    # program: seed → at every page extract [url, text], follow all title
+    # links, recur — termination is data-driven (leaves have no links),
+    # exactly the reference's pagination idiom (doc api.scrbl:150-163).
+    program = Go(
+        seed,
+        Label(
+            "walk",
+            Extract(ListE([UrlE(), First(XpathTextE("//p"))])),
+            Go(XpathE("//td[@class='title']/a/@href/text()"), Recur("walk")),
+        ),
+    )
+    workdir = tempfile.mkdtemp(prefix="boris_crawl_")
+    eng = CrawlEngine(spark, pages, workdir, politeness_k=None, use_bloom=True)
+    summary = eng.run(program, max_rounds=64)
+    _crawl_cache[key] = (eng, summary)
+    return _crawl_cache[key]
+
+
+@q(
+    "crawl_reach",
+    _REACH_CTE + f"SELECT {_URL_EXPR_SQL} AS url FROM reach",
+)
+def crawl_reach(spark, sf_dir):
+    """URL-seen set of the distributed crawl == transitive closure from the
+    seed (reference: cache key set, browser-services.rkt:44-46)."""
+    eng, _ = _run_doc_crawl(spark, sf_dir)
+    return eng.seen_df().select(F.col("url_canon").alias("url"))
+
+
+@q(
+    "crawl_extract_text",
+    _REACH_CTE
+    + f"""
+    SELECT {_URL_EXPR_SQL.replace('id', 'doc_id')} AS url, d.text AS text
+    FROM documents d JOIN reach r ON d.doc_id = r.id
+    """,
+)
+def crawl_extract_text(spark, sf_dir):
+    """Byte-identical extracted text per crawled url (input_hint invariant):
+    the engine's pandas-UDF extraction vs the closed-form source text."""
+    eng, _ = _run_doc_crawl(spark, sf_dir)
+    v = F.from_json("value", "array<string>")
+    return eng.results_df().select(
+        v.getItem(0).alias("url"), v.getItem(1).alias("text")
+    )
+
+
+# =====================================================================
+# Frontier-round relational stages (SURVEY.md §2f) over events/orders.
+# =====================================================================
+
+_TOPK_SQL = """
+SELECT user_id, event_id, CAST(rn AS BIGINT) AS rn FROM (
+    SELECT user_id, event_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events
+) WHERE rn <= 3
+"""
+
+
+@q("frontier_topk_per_host", _TOPK_SQL)
+def frontier_topk_per_host(spark, sf_dir):
+    """Dequeue stage: top-k per host by priority (window row_number) —
+    SURVEY.md §2f 'top-k per host dequeue'. Shuffles once on the partition
+    key; at scale the skew-safe variant below is used instead."""
+    e = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select("user_id", "event_id", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 3)
+        .withColumn("rn", F.col("rn").cast("long"))
+    )
+
+
+@q("frontier_topk_salted", _TOPK_SQL)
+def frontier_topk_salted(spark, sf_dir):
+    """Same answer as frontier_topk_per_host via the two-phase salted
+    window the crawl engine uses: phase 1 bounds any hot key to salt×k rows,
+    phase 2 is exact — a hot host never funnels through a single task."""
+    e = T(spark, sf_dir, "events")
+    salted = e.withColumn(
+        "salt", F.pmod(F.xxhash64(F.col("event_id").cast("string")), F.lit(8))
+    )
+    w1 = Window.partitionBy("user_id", "salt").orderBy("ts", "event_id")
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        salted.withColumn("rn1", F.row_number().over(w1))
+        .where(F.col("rn1") <= 3)
+        .withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") <= 3)
+        .select("user_id", "event_id", F.col("rn").cast("long").alias("rn"))
+    )
+
+
+@q(
+    "seen_anti_join",
+    """
+    SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+    FROM orders WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
+    """,
+)
+def seen_anti_join(spark, sf_dir):
+    """Seen-filter stage: left_anti on the key — the distributed form of the
+    fetch-memoization check (browser-services.rkt:36-46). Equi-join on a
+    64-bit-ish key: shuffle-hash at scale, broadcast when the seen shard is
+    small."""
+    o = T(spark, sf_dir, "orders")
+    l = T(spark, sf_dir, "lineitem")
+    return (
+        o.join(l.select(F.col("l_orderkey").alias("o_orderkey")), "o_orderkey", "left_anti")
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+    )
+
+
+@q(
+    "frontier_merge_dedup",
+    """
+    SELECT event_id, CAST(count(*) AS BIGINT) AS refs,
+           CAST(floor(epoch(min(ts))) AS BIGINT) AS priority_s
+    FROM (
+        SELECT event_id, ts FROM events WHERE event_type = 'click'
+        UNION ALL
+        SELECT event_id, ts FROM events WHERE value > 5
+    ) GROUP BY event_id
+    """,
+)
+def frontier_merge_dedup(spark, sf_dir):
+    """Frontier-merge stage: union of discovery streams, dedup by canonical
+    key, priority recompute via min-agg (SURVEY.md §2f 'frontier merge').
+    Map-side partial aggregation makes the shuffle carry one row per key per
+    partition."""
+    e = T(spark, sf_dir, "events")
+    a = e.where(F.col("event_type") == "click").select("event_id", "ts")
+    b = e.where(F.col("value") > 5).select("event_id", "ts")
+    return (
+        a.unionByName(b)
+        .groupBy("event_id")
+        .agg(
+            F.count("*").alias("refs"),
+            F.min("ts").cast("timestamp").cast("long").alias("priority_s"),
+        )
+    )
+
+
+@q(
+    "url_canonicalize",
+    f"""
+    SELECT o_orderkey,
+           'http://host' || (o_orderkey % 7) || '.example.com/Orders/' || o_orderkey
+           || '?q=' || o_orderstatus || 'p=' || o_orderpriority || '#Frag' AS url_canon
+    FROM orders
+    """,
+)
+def url_canonicalize(spark, sf_dir):
+    """Canonicalize stage: kernel ``url->string/raw`` semantics
+    (url.rkt:37-55) via an Arrow-batched UDF, validated against the
+    closed-form expected string: userinfo+port dropped, ;params dropped,
+    query decoded and re-joined with NO separator, fragment kept."""
+    from ..kernel import canonicalize
+
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.concat(
+            F.lit("HTTP://User:Pw@HOST"), F.pmod("o_orderkey", F.lit(7)),
+            F.lit(".Example.COM:8080/Orders/"), F.col("o_orderkey"),
+            F.lit(";sess=9?q="), F.col("o_orderstatus"),
+            F.lit("&p="), F.col("o_orderpriority"), F.lit("#Frag"),
+        ).alias("raw"),
+    )
+
+    def canon(batches):
+        for pdf in batches:
+            pdf["url_canon"] = pdf["raw"].map(canonicalize)
+            yield pdf[["o_orderkey", "url_canon"]]
+
+    return o.mapInPandas(canon, "o_orderkey long, url_canon string")
+
+
+# =====================================================================
+# Training-data pipeline: deduplication family over `documents`.
+# =====================================================================
+
+
+@q(
+    "dedup_exact",
+    """
+    SELECT md5(substr(text, 1, 40)) AS prefix_hash,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           min(doc_id) AS keep_id
+    FROM documents GROUP BY 1 HAVING count(*) > 1
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on a content key, keep min id. One shuffle
+    on the hash; partial agg map-side. At 100 TB the key is xxhash64(text)
+    bucketed to the frontier layout; md5(prefix) here for a SQL-commutable
+    oracle."""
+    d = T(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.substring("text", 1, 40)).alias("prefix_hash"))
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_id"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+_TOKS_SQL = """
+toks AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '') AS t
+    FROM documents
+),
+shingles AS (
+    SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+    FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+    WHERE len(t) >= 3
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+    FROM shingles a JOIN shingles b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+"""
+
+_JACCARD_SQL = (
+    "WITH " + _TOKS_SQL + """
+SELECT i.doc_a, i.doc_b,
+       round(CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c) >= 0.4
+"""
+)
+
+
+def _shingles_df(spark, sf_dir) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != F.lit("")
+    )
+    sh = F.transform(
+        F.sequence(F.lit(1), F.size("t") - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at("t", i), F.element_at("t", i + 1), F.element_at("t", i + 2)
+        ),
+    )
+    return (
+        d.select("doc_id", toks.alias("t"))
+        .where(F.size("t") >= 3)
+        .select("doc_id", F.explode(sh).alias("s"))
+        .distinct()
+    )
+
+
+def _jaccard_pairs_df(spark, shingles: DataFrame, threshold: float = 0.4) -> DataFrame:
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("c"))
+    )
+    jac = F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .where(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@q("dedup_ngram_jaccard", _JACCARD_SQL)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Near-dup pairs by exact 3-gram shingle Jaccard ≥ 0.4. All JVM-side
+    (split/transform/explode + equi-join on shingle). At 100 TB this exact
+    form is the verification pass that runs AFTER MinHash-LSH candidate
+    generation (below) — never as a full self-join."""
+    return _jaccard_pairs_df(spark, _shingles_df(spark, sf_dir))
+
+
+@q("dedup_minhash_lsh", _JACCARD_SQL)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(32 hashes)+LSH(16 bands × 2 rows) candidate generation, then
+    exact-Jaccard verification of candidates only. Output equals the exact
+    query (the oracle) when LSH recall is 1 at this threshold/shape — the
+    scale path: the self-join runs on band buckets, not on all shingles.
+    Minhash permutations are xxhash64 with per-permutation prefixes —
+    JVM-side, no UDF."""
+    shingles = _shingles_df(spark, sf_dir).persist()
+    n_hashes, rows_per_band = 32, 2
+    sig = shingles.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"h{i}")
+            for i in range(n_hashes)
+        ]
+    )
+    bands = []
+    for b in range(n_hashes // rows_per_band):
+        cols = [f"h{b * rows_per_band + r}" for r in range(rows_per_band)]
+        bands.append(
+            sig.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.concat_ws(",", *[F.col(c).cast("string") for c in cols])
+                ).alias("band_sig"),
+            )
+        )
+    allb = bands[0]
+    for x in bands[1:]:
+        allb = allb.unionByName(x)
+    a, b2 = allb.alias("a"), allb.alias("b")
+    cand = (
+        a.join(
+            b2,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    exact = _jaccard_pairs_df(spark, shingles)
+    return exact.join(cand, ["doc_a", "doc_b"], "left_semi")
+
+
+_SIMHASH_CTE = """
+WITH toks AS (
+    SELECT DISTINCT doc_id, tok FROM (
+        SELECT doc_id, UNNEST(list_filter(
+            regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
+        FROM documents
+    )
+),
+th AS (
+    SELECT doc_id, tok,
+           ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+    FROM toks
+),
+bits AS (
+    SELECT doc_id, b.b AS b,
+           sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+    FROM th, (SELECT UNNEST(range(0, 60)) AS b) b
+    GROUP BY doc_id, b.b
+),
+sh AS (
+    SELECT doc_id,
+           sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
+    FROM bits GROUP BY doc_id
+)
+"""
+
+
+@q(
+    "dedup_simhash",
+    _SIMHASH_CTE
+    + """
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs (60-bit md5-derived token hashes, majority
+    vote per bit) with Hamming ≤ 3, candidate-joined on 4×15-bit bands —
+    pigeonhole-exact for the threshold, so the banded plan returns exactly
+    the brute-force (oracle) pairs without the O(n²) cross join."""
+    d = T(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != F.lit(""))
+    tok = (
+        d.select("doc_id", F.explode(toks).alias("tok")).distinct()
+        .withColumn("h", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long"))
+    )
+    bits = (
+        tok.select("doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(59))).alias("b"))
+        .withColumn(
+            "bit", F.expr("CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END")
+        )
+        .groupBy("doc_id", "b")
+        .agg(F.sum("bit").alias("s"))
+    )
+    sh = bits.groupBy("doc_id").agg(
+        F.sum(F.expr("CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(b AS INT)) ELSE 0L END")).alias("simhash")
+    )
+    banded = sh.select(
+        "doc_id", "simhash",
+        F.explode(F.expr(
+            "transform(sequence(0, 3), k -> named_struct('band', k, "
+            "'sig', (simhash >> (k * 15)) & 32767))"
+        )).alias("bs"),
+    ).select("doc_id", "simhash", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.sig") == F.col("b.sig"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sha"), F.col("b.simhash").alias("shb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sha").bitwiseXOR(F.col("shb")))
+    return cand.where(ham <= 3).select(
+        "doc_a", "doc_b", ham.cast("long").alias("hamming")
+    )
+
+
+@q(
+    "doc_fingerprint",
+    """
+    SELECT doc_id, md5(regexp_replace(text, '\\s+', ' ', 'g')) AS fp
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark, sf_dir):
+    """Document fingerprint: md5 of whitespace-normalized text — pure
+    JVM-side, codegen'd, zero shuffle."""
+    d = T(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.md5(F.regexp_replace("text", "\\s+", " ")).alias("fp")
+    )
+
+
+@q(
+    "token_count",
+    """
+    SELECT doc_id, CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens
+    FROM documents
+    """,
+)
+def token_count(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.size(F.split("text", "\\s+")).cast("long").alias("n_tokens")
+    )
+
+
+_LANG_MARKERS = [
+    ("en", " the "), ("de", " der "), ("fr", " les "), ("es", " las "), ("it", " della "),
+]
+
+
+def _marker_count_sql(m: str) -> str:
+    return (
+        f"CAST((length(pad) - length(replace(pad, '{m}', ''))) / {len(m)} AS BIGINT)"
+    )
+
+
+@q(
+    "lang_id",
+    "WITH p AS (SELECT doc_id, ' ' || lower(text) || ' ' AS pad FROM documents),\n"
+    "s AS (SELECT doc_id, "
+    + ", ".join(f"{_marker_count_sql(m)} AS c_{l}" for l, m in _LANG_MARKERS)
+    + " FROM p)\nSELECT doc_id, CASE "
+    + " ".join(
+        f"WHEN c_{l} >= greatest({', '.join('c_' + l2 for l2, _ in _LANG_MARKERS)}) THEN '{l}'"
+        for l, _ in _LANG_MARKERS
+    )
+    + " END AS lang_guess, "
+    + f"greatest({', '.join('c_' + l for l, _ in _LANG_MARKERS)}) AS score FROM s",
+)
+def lang_id(spark, sf_dir):
+    """Language-ID heuristic: marker-word occurrence counts, argmax with a
+    fixed tie order. Pure string built-ins, zero shuffle."""
+    d = T(spark, sf_dir, "documents")
+    pad = F.concat(F.lit(" "), F.lower("text"), F.lit(" "))
+    s = d.select(
+        "doc_id",
+        *[
+            ((F.length(pad) - F.length(F.replace(pad, F.lit(m)))) / len(m))
+            .cast("long").alias(f"c_{l}")
+            for l, m in _LANG_MARKERS
+        ],
+    )
+    counts = [F.col(f"c_{l}") for l, _ in _LANG_MARKERS]
+    best = F.greatest(*counts)
+    # CASE-WHEN chain in fixed priority order (matches the SQL oracle's CASE)
+    langs = [l for l, _ in _LANG_MARKERS]
+    guess = F.when(F.col(f"c_{langs[0]}") >= best, langs[0])
+    for l in langs[1:]:
+        guess = guess.when(F.col(f"c_{l}") >= best, l)
+    return s.select("doc_id", guess.alias("lang_guess"), best.alias("score"))
+
+
+@q(
+    "quality_score",
+    """
+    WITH t AS (
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens
+        FROM documents
+    )
+    SELECT doc_id,
+           round(0.5 * least(1.0, n_tokens / 100.0)
+                 + 0.5 * least(1.0, n_chars / 500.0), 6) AS quality
+    FROM t
+    """,
+)
+def quality_score(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", "\\s+")).cast("long")
+    n_chars = F.length("text").cast("long")
+    return d.select(
+        "doc_id",
+        F.round(
+            0.5 * F.least(F.lit(1.0), n_tokens / 100.0)
+            + 0.5 * F.least(F.lit(1.0), n_chars / 500.0),
+            6,
+        ).alias("quality"),
+    )
+
+
+# =====================================================================
+# Similarity search over `embeddings`.
+# =====================================================================
+
+_ANN_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),
+sims AS (
+    SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
+           round(list_cosine_similarity(q.v, e.v), 4) AS sim
+    FROM q, e WHERE q.vec_id <> e.vec_id
+),
+ranked AS (
+    SELECT q_id, neighbor_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rank
+    FROM sims
+)
+SELECT q_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= 5
+"""
+
+
+def _cosine(av, bv):
+    dot = F.aggregate(
+        F.zip_with(av, bv, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    na = F.sqrt(F.aggregate(av, F.lit(0.0), lambda a, x: a + x * x))
+    nb = F.sqrt(F.aggregate(bv, F.lit(0.0), lambda a, x: a + x * x))
+    return dot / (na * nb)
+
+
+@q("ann_cosine_topk", _ANN_SQL)
+def ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k: broadcast the (tiny) query set against the
+    corpus — one pass, no shuffle of the big side; rank on rounded sim with
+    id tiebreak so the result set is deterministic."""
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    qs = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    sims = (
+        e.join(F.broadcast(qs), F.col("q_id") != F.col("vec_id"))
+        .select(
+            "q_id", F.col("vec_id").alias("neighbor_id"),
+            F.round(_cosine(F.col("qv"), F.col("v")), 4).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("q_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+@q("ann_lsh_bucketed")  # no SQL oracle: approximate recall — rows-only check
+def ann_lsh_bucketed(spark, sf_dir):
+    """Scale path for ANN: random-hyperplane LSH (8 deterministic
+    xxhash-sign hyperplanes → 256 buckets) with Hamming-1 multiprobe; cosine
+    runs only within probed buckets, so the big side is never cross-joined.
+    Approximate (recall < 1) — measured against the brute-force baseline in
+    pytest, rows-only-checked by the driver."""
+    from ..kernel import xxh64_str
+
+    dim = 64
+    n_planes = 8
+    planes = [
+        [1.0 if xxh64_str(f"{j}:{i}") % 2 == 0 else -1.0 for i in range(dim)]
+        for j in range(n_planes)
+    ]
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    sig = None
+    for j, p in enumerate(planes):
+        dot = F.aggregate(
+            F.zip_with(F.col("v"), F.array(*[F.lit(x) for x in p]), lambda a, b: a * b),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+        bit = F.when(dot > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        term = F.shiftleft(bit, j)
+        sig = term if sig is None else sig + term
+    eb = e.withColumn("bucket", sig)
+    # multiprobe: each query probes its own bucket plus all Hamming-1
+    # neighbors (flip one plane bit) — recall without widening the join
+    probes = F.array(
+        F.col("bucket"), *[F.col("bucket").bitwiseXOR(1 << i) for i in range(n_planes)]
+    )
+    qs = (
+        eb.where(F.col("vec_id") < 10)
+        .select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
+                F.explode(probes).alias("bucket"))
+    )
+    sims = (
+        eb.join(F.broadcast(qs), "bucket")
+        .where(F.col("q_id") != F.col("vec_id"))
+        .dropDuplicates(["q_id", "vec_id"])
+        .select(
+            "q_id", F.col("vec_id").alias("neighbor_id"),
+            F.round(_cosine(F.col("qv"), F.col("v")), 4).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("q_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+# =====================================================================
+# Relational breadth (TPC-H-ish) + stream-style sessionization.
+# =====================================================================
+
+
+@q(
+    "tpch_q1",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(floor(sum(CAST(l_quantity AS DECIMAL(18,6))) * 100) AS BIGINT) AS sum_qty_c,
+           CAST(floor(sum(CAST(l_extendedprice AS DECIMAL(18,6))) * 100) AS BIGINT) AS sum_base_c,
+           CAST(floor(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) * 100) AS BIGINT) AS sum_disc_c,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1(spark, sf_dir):
+    l = T(spark, sf_dir, "lineitem")
+    return (
+        l.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.floor(F.sum(F.col("l_quantity").cast("decimal(18,6)")) * 100).cast("long").alias("sum_qty_c"),
+            F.floor(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")) * 100).cast("long").alias("sum_base_c"),
+            F.floor(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")) * 100).cast("long").alias("sum_disc_c"),
+            F.count("*").alias("cnt"),
+        )
+    )
+
+
+@q(
+    "tpch_q3_revenue",
+    """
+    SELECT o.o_orderkey, CAST(floor(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) * 100) AS BIGINT) AS revenue_cents
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey
+    """,
+)
+def tpch_q3_revenue(spark, sf_dir):
+    """Join-agg with a broadcast-able dim: customer filter broadcasts to the
+    fact join (no shuffle of lineitem on the customer key)."""
+    c = T(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = T(spark, sf_dir, "orders")
+    l = T(spark, sf_dir, "lineitem")
+    return (
+        l.join(
+            F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select("o_orderkey")),
+            l.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderkey")
+        .agg(F.floor(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")) * 100).cast("long").alias("revenue_cents"))
+    )
+
+
+@q(
+    "events_sessionize",
+    """
+    WITH g AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL THEN 0
+                    WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1
+                    ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id,
+           CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+    FROM g
+    """,
+)
+def events_sessionize(spark, sf_dir):
+    """Stream-style sessionization (30-min gap) as a window job — the batch
+    equivalent of the streaming session operator; one shuffle on user_id."""
+    e = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag(F.col("ts").cast("timestamp").cast("long")).over(w)
+    new_sess = F.when(prev.isNull(), 0).when(
+        F.col("ts").cast("timestamp").cast("long") - prev > 1800, 1
+    ).otherwise(0)
+    return (
+        e.withColumn("new_sess", new_sess)
+        .withColumn(
+            "session_id",
+            F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+        )
+        .select("user_id", "event_id", "session_id")
+    )

@@ -221,6 +221,24 @@ class First(Expr):
         return v[0] if v else None
 
 
+@dataclass
+class PageFeaturesE(Expr):
+    """One-parse featurization of the current page (title, text, n_links,
+    n_tokens) — the crawl bench's fetch+extract payload."""
+
+    def eval(self, ctx):
+        return htmlkit.page_features(ctx.body)
+
+
+@dataclass
+class ListE(Expr):
+    """Evaluate each item; the fly value is the list itself."""
+    items: list[Expr] = field(default_factory=list)
+
+    def eval(self, ctx):
+        return [i.eval(ctx) for i in self.items]
+
+
 def ensure_list(v: Any) -> list:
     """``->list`` (utils/emd/emd.rkt:28-33) with None/False → [] pruning
     (doc quickstart.scrbl:49: conditional crawl — empty prunes)."""

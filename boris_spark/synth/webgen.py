@@ -147,8 +147,12 @@ def corpus_pages_dict(n_pages: int, seed: int = 42) -> dict[str, str]:
 
 # --------------------------------------------- pages from documents testdata
 
-# Link formula over doc ids (closed-form so DuckDB recursive CTEs can
-# reproduce it): children(d) = {(3d+1) mod N, (3d+2) mod N} minus self.
+# Link formula over doc ids: binary-heap tree children {2d+1, 2d+2} ∩ [0,N).
+# A tree (single path to every node) keeps the reference's cache-oblivious
+# traversal finite (Boris re-expands revisited URLs — interpreter.rkt:54-59
+# has no seen-check, only a fetch cache — so cyclic graphs never terminate),
+# and the closed form lets a DuckDB recursive CTE reproduce the engine's
+# reachable set exactly.
 
 DOC_HOSTS = 7
 
@@ -158,7 +162,7 @@ def doc_url(doc_id: int) -> str:
 
 
 def doc_children(doc_id: int, n_docs: int) -> list[int]:
-    return [t for t in ((3 * doc_id + 1) % n_docs, (3 * doc_id + 2) % n_docs) if t != doc_id]
+    return [t for t in (2 * doc_id + 1, 2 * doc_id + 2) if t < n_docs]
 
 
 def doc_html(doc_id: int, n_docs: int, text: str) -> str:
