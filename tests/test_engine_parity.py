@@ -141,3 +141,61 @@ def test_resume_from_checkpoint(spark, corpus, tmp_path):
     eng2 = CrawlEngine(spark, pages_df, str(tmp_path / "work"), politeness_k=4)
     eng2.run(program, max_rounds=50, resume=True)
     assert_parity(oracle, eng2)
+
+
+def test_robots_parity(spark, corpus, tmp_path):
+    """robots.txt: blocked URLs are seen with status 999 + empty body on the
+    engine; the oracle mirrors via RobotsSnapshotFetcher — outputs match."""
+    from boris_spark.engine.robots import RobotsSnapshotFetcher, robots_rules_df
+
+    pages_df, pages_dict = corpus
+    seeds = webgen.seeds_for(N_PAGES, SEED)
+    program = flagship_program(seeds)
+    rules = [("h0.site42.test", "/p/1"), ("h1.site42.test", "/")]
+    from boris_spark.oracle import spider as run_spider
+
+    oracle = run_spider(program, RobotsSnapshotFetcher(pages_dict, rules))
+    eng = CrawlEngine(
+        spark, pages_df, str(tmp_path / "work"), politeness_k=None,
+        robots_rules=robots_rules_df(spark, rules),
+    )
+    eng.run(program, max_rounds=50)
+    assert_parity(oracle, eng)
+    blocked = {
+        r["url_canon"]
+        for r in eng.seen_df().where("status = 999").collect()
+    }
+    assert blocked, "rules matched nothing"
+
+
+def test_click_submit_download_parity(spark, tmp_path):
+    """click (Referer), submit (form POST keyed by action URL) and download
+    (body sink + prune) through the distributed engine vs the oracle."""
+    from boris_spark.oracle.program import Click, Download, FormsE, Submit
+
+    site = {
+        "http://s.test/": (
+            "<form action='/search' method='get'>"
+            "<input name='q' value='default'></form>"
+            "<td class='title'><a href='/a'>go</a></td>"
+        ),
+        "http://s.test/search": "<p>results page</p>",
+        "http://s.test/a": "<p>leaf a</p>",
+    }
+    pages_df = spark.createDataFrame(
+        [(u, h.encode()) for u, h in site.items()], "url string, html binary"
+    )
+    program = Go(
+        "http://s.test/",
+        Submit(FormsE([("q", Lit("boris"))]), Extract(XpathTextE("//p"))),
+        Click(XpathE("//td[@class='title']/a/@href/text()"),
+              Extract(XpathTextE("//p"))),
+        Download(),
+    )
+    oracle = spider(program, SnapshotFetcher(site))
+    eng = CrawlEngine(spark, pages_df, str(tmp_path / "w"), politeness_k=None)
+    eng.run(program, max_rounds=10)
+    assert_parity(oracle, eng)
+    dls = eng._read_sink("downloads")
+    assert dls is not None and dls.count() == 1
+    assert oracle.downloads and oracle.downloads[0][1] == "http://s.test/"

@@ -1,0 +1,96 @@
+"""Entry-contract gate in pytest: run queries() against oracle_sql() in
+DuckDB on sf0.001 (the driver does the same at sf0.01) with the driver's
+compare semantics: row count, sorted column names, order-insensitive values.
+The crawl-engine queries are exercised at this small sf too."""
+
+import math
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+FAST = [
+    "crawl_reach",
+    "crawl_extract_text",
+    "frontier_topk_per_host",
+    "frontier_topk_salted",
+    "seen_anti_join",
+    "frontier_merge_dedup",
+    "url_canonicalize",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "doc_fingerprint",
+    "token_count",
+    "lang_id",
+    "quality_score",
+    "ann_cosine_topk",
+    "tpch_q1",
+    "tpch_q3_revenue",
+    "events_sessionize",
+]
+
+
+def _norm_cell(v):
+    if isinstance(v, float):
+        return "nan" if math.isnan(v) else f"{v:.6f}"
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return str(v)
+
+
+def _norm(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_norm_cell(r[i]) for i in order) for r in rows)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+@pytest.mark.parametrize("name", FAST)
+def test_query_matches_oracle(spark, duck, name):
+    qs = entrymod.queries()
+    sqls = entrymod.oracle_sql()
+    sdf = qs[name](spark, SF_DIR)
+    srows = [tuple(r) for r in sdf.collect()]
+    rel = duck.sql(sqls[name])
+    drows = rel.fetchall()
+    assert len(srows) == len(drows), f"rowcount {len(srows)} != {len(drows)}"
+    assert sorted(sdf.columns) == sorted(rel.columns)
+    assert _norm(sdf.columns, srows) == _norm(rel.columns, drows)
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() >= 0
+    assert set(df.columns) == {"url", "text"}
+
+
+def test_ann_lsh_recall(spark):
+    """LSH multiprobe ANN recall vs brute force ≥ 0.5 on the test corpus."""
+    from boris_spark.ops.queries import ann_cosine_topk, ann_lsh_bucketed
+
+    exact = {
+        (r["q_id"], r["neighbor_id"])
+        for r in ann_cosine_topk(spark, SF_DIR).collect()
+    }
+    approx = {
+        (r["q_id"], r["neighbor_id"])
+        for r in ann_lsh_bucketed(spark, SF_DIR).collect()
+    }
+    assert exact, "no exact pairs"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"recall {recall}"
