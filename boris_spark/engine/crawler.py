@@ -51,12 +51,15 @@ from .compiler import NodeSpec, compile_program
 from .udfs import CASCADE_SCHEMA, make_cascade_fn
 
 REQUEST_SCHEMA = (
-    "pc long, url_canon string, url_hash long, host string, "
-    "referer string, method string, bindings string, path_key string"
+    "pc long, url_canon string, url_full string, url_hash long, host string, "
+    "referer string, method string, payload string, bindings string, path_key string"
 )
-APPLY_SCHEMA = "pc long, cur_url string, bindings string, path_key string"
+APPLY_SCHEMA = "pc long, cur_url string, cur_full string, bindings string, path_key string"
 
-_REQ_COLS = ["pc", "url_canon", "url_hash", "host", "referer", "method", "bindings", "path_key"]
+_REQ_COLS = [
+    "pc", "url_canon", "url_full", "url_hash", "host",
+    "referer", "method", "payload", "bindings", "path_key",
+]
 
 
 @dataclass
@@ -80,6 +83,8 @@ class CrawlEngine:
         use_bloom: bool = True,
         bloom_bits: int = 1 << 17,
         robots_rules: DataFrame | None = None,
+        fetch_mode: str = "snapshot",  # "snapshot" | "http"
+        http_timeout: float = 10.0,
     ):
         self.spark = spark
         self.workdir = workdir
@@ -89,17 +94,23 @@ class CrawlEngine:
         self.use_bloom = use_bloom
         self.bloom = BloomShardStore(n_buckets, bloom_bits) if use_bloom else None
         self.robots = robots_rules
+        self.fetch_mode = fetch_mode
+        self.http_timeout = http_timeout
         os.makedirs(workdir, exist_ok=True)
-        # snapshot "fetcher": pages keyed by canonical url; html may be binary
-        html_col = pages_df.schema["html"].dataType.simpleString()
-        body = F.col("html").cast("string") if html_col == "binary" else F.col("html")
-        self.pages = (
-            pages_df.select(
-                F.col("url").alias("url_canon"),
-                body.alias("body"),
+        self.pages = None
+        if pages_df is not None:
+            # snapshot "fetcher": pages keyed by canonical url
+            html_col = pages_df.schema["html"].dataType.simpleString()
+            body = F.col("html").cast("string") if html_col == "binary" else F.col("html")
+            self.pages = (
+                pages_df.select(
+                    F.col("url").alias("url_canon"),
+                    body.alias("body"),
+                )
+                .persist()
             )
-            .persist()
-        )
+        elif fetch_mode != "http":
+            raise ValueError("snapshot mode requires a pages_df")
 
     # ------------------------------------------------------------ helpers
 
@@ -146,7 +157,7 @@ class CrawlEngine:
                     self.bloom.add_delta(seen.select("bucket", "url_hash").toPandas())
         if start_round == 0:
             init = self.spark.createDataFrame(
-                [(root.node_id, None, None, "")], APPLY_SCHEMA
+                [(root.node_id, None, None, None, "")], APPLY_SCHEMA
             )
             requests, n_init_results = self._cascade(init, rnd=0)
             self._checkpoint_frontier(requests, 0)
@@ -194,9 +205,16 @@ class CrawlEngine:
             F.min("path_key").alias("pk"),
             F.first("url_hash").alias("url_hash"),
             F.first("host").alias("host"),
-        )
+            F.first("url_full").alias("url_full"),
+            F.first("method").alias("method"),
+            F.first("payload").alias("payload"),
+        ).persist()
 
-        unseen = self._filter_unseen(urls)
+        unseen = self._filter_unseen(urls).persist()
+        # urls already in the seen set: their requests proceed without a fetch
+        # (cache hits — browser-services.rkt:36-40); computed from in-flight
+        # frames, no rescan of the growing seen table
+        seen_hits = urls.join(unseen.select("url_canon"), "url_canon", "left_anti")
 
         # robots.txt: blocked URLs become seen(status=999, empty body) —
         # they consume no politeness budget and the branch prunes naturally
@@ -227,14 +245,7 @@ class CrawlEngine:
         else:
             selected = unseen
 
-        # fetch = join the snapshot pages table (missing page → 404, empty body)
-        fetched = (
-            selected.join(self.pages, "url_canon", "left")
-            .withColumn("status", F.when(F.col("body").isNull(), 404).otherwise(200))
-            .withColumn("bucket", F.pmod(F.col("url_hash"), F.lit(self.n_buckets)).cast("int"))
-            .persist()
-        )
-        n_fetched = fetched.count()
+        fetched = self._fetch(selected, rnd)
 
         seen_delta = fetched.select(
             "url_hash", "url_canon", "host", "bucket", "status",
@@ -248,24 +259,27 @@ class CrawlEngine:
                 )
             )
         self._append(seen_delta, "seen", rnd)
-        if self.bloom is not None:
-            self.bloom.add_delta(
-                self.spark.read.parquet(self._path("seen", f"round={rnd}"))
-                .select("bucket", "url_hash").toPandas()
-            )
 
-        # per-partition lineage metrics (hosts × fetch counts per bucket)
+        # single read-back of this round's seen delta drives the bloom fold,
+        # the fetch metrics, and the per-partition lineage (ONE action; at
+        # design scale the bloom fold becomes a distributed applyInPandas and
+        # the metrics a groupBy — same data flow)
+        delta = self.spark.read.parquet(self._path("seen", f"round={rnd}"))
+        delta_pdf = delta.select("bucket", "url_hash", "host", "status").toPandas()
+        if self.bloom is not None:
+            self.bloom.add_delta(delta_pdf[["bucket", "url_hash"]])
+        n_fetched = int((delta_pdf["status"] != 999).sum())
         lineage = [
-            {"bucket": r["bucket"], "fetched": r["cnt"], "hosts": r["hosts"]}
-            for r in fetched.groupBy("bucket")
-            .agg(F.count("*").alias("cnt"), F.countDistinct("host").alias("hosts"))
-            .collect()
+            {"bucket": int(b), "fetched": int(g["status"].ne(999).sum()),
+             "hosts": int(g["host"].nunique())}
+            for b, g in delta_pdf.groupby("bucket")
         ]
 
-        # requests whose url is now in the seen set proceed; rest defer
-        seen_now = self._read_sink("seen").select("url_canon").distinct()
-        ok = requests.join(seen_now, "url_canon", "left_semi")
-        deferred = requests.join(seen_now, "url_canon", "left_anti")
+        # requests whose url is now fetched/blocked/previously-seen proceed;
+        # the rest (over politeness budget) defer to the next round
+        ok_urls = seen_hits.select("url_canon").unionByName(delta.select("url_canon"))
+        ok = requests.join(ok_urls, "url_canon", "left_semi")
+        deferred = requests.join(ok_urls, "url_canon", "left_anti")
 
         # fan to children of the navigate node: broadcast join on tiny node map
         apply0 = (
@@ -273,6 +287,7 @@ class CrawlEngine:
             .select(
                 F.col("child_pc").alias("pc"),
                 F.col("url_canon").alias("cur_url"),
+                F.col("url_full").alias("cur_full"),
                 "bindings",
                 F.concat("path_key", F.format_string("%08x", F.col("j"))).alias("path_key"),
             )
@@ -284,19 +299,55 @@ class CrawlEngine:
         frontier_next = new_requests.unionByName(
             deferred.select(*_REQ_COLS)
         )
-        n_deferred = deferred.count()
         self._checkpoint_frontier(frontier_next, rnd + 1)
         frontier_next = self.spark.read.parquet(self._path("frontier", f"round={rnd + 1}"))
 
         requests.unpersist()
-        fetched.unpersist()
+        urls.unpersist()
+        unseen.unpersist()
         metrics = {
             "fetched": n_fetched,
-            "deferred": n_deferred,
             "results": n_results,
             "partitions": lineage,
         }
         return frontier_next, n_fetched, n_results, metrics
+
+    def _fetch(self, selected: DataFrame, rnd: int) -> DataFrame:
+        """Fetch the dequeued URLs. Snapshot mode joins the pages table
+        (missing page → 404, empty body). HTTP mode fetches in mapInPandas
+        batches (the distributed request->response,
+        /root/reference/hypertext-browser/http.rkt:124-136) and persists
+        bodies to the store sink for the cascade's body joins."""
+        if self.fetch_mode == "snapshot":
+            return (
+                selected.join(self.pages, "url_canon", "left")
+                .withColumn("status", F.when(F.col("body").isNull(), 404).otherwise(200))
+                .withColumn(
+                    "bucket", F.pmod(F.col("url_hash"), F.lit(self.n_buckets)).cast("int")
+                )
+            )
+        from .fetch import make_http_fetch_fn
+
+        fetched = selected.repartition(
+            self.spark.sparkContext.defaultParallelism, "host"
+        ).mapInPandas(
+            make_http_fetch_fn(self.http_timeout),
+            "url_canon string, pk string, url_hash long, host string, "
+            "url_full string, method string, payload string, "
+            "body string, status int",
+        ).withColumn(
+            "bucket", F.pmod(F.col("url_hash"), F.lit(self.n_buckets)).cast("int")
+        )
+        # bodies persist to the store sink (the crash-resumable page cache —
+        # the reference's fs-dict, persistent/main.rkt:37-67)
+        self._append(
+            fetched.select("url_canon", "body", "status"), "store", rnd
+        )
+        return self.spark.read.parquet(self._path("store", f"round={rnd}")).join(
+            selected, "url_canon"
+        ).withColumn(
+            "bucket", F.pmod(F.col("url_hash"), F.lit(self.n_buckets)).cast("int")
+        )
 
     def _filter_unseen(self, urls: DataFrame) -> DataFrame:
         seen = self._read_sink("seen")
@@ -339,8 +390,10 @@ class CrawlEngine:
             if gen > 200:
                 raise RuntimeError("cascade depth exceeded (fetch-free recur loop?)")
             with_body = apply_df.join(
-                self.pages.withColumnRenamed("url_canon", "cur_url"), "cur_url", "left"
-            ).select("pc", "cur_url", F.coalesce("body", F.lit("")).alias("body"),
+                self._body_source().withColumnRenamed("url_canon", "cur_url"),
+                "cur_url", "left"
+            ).select("pc", "cur_url", "cur_full",
+                     F.coalesce("body", F.lit("")).alias("body"),
                      "bindings", "path_key")
             if self.robots is not None:
                 # robots-blocked pages traverse with an empty body even when
@@ -376,18 +429,26 @@ class CrawlEngine:
                 out.where(F.col("kind") == "request").select(*_REQ_COLS)
             )
             apply_df = out.where(F.col("kind") == "apply").select(
-                "pc", "cur_url", "bindings", "path_key"
+                "pc", "cur_url", "cur_full", "bindings", "path_key"
             )
         return requests_acc, n_results
 
     # ------------------------------------------------------- checkpointing
 
+    def _body_source(self) -> DataFrame:
+        """(url_canon, body) for the cascade's current-document joins:
+        the pages table in snapshot mode, the fetched store in HTTP mode."""
+        if self.fetch_mode == "snapshot":
+            return self.pages
+        store = self._read_sink("store")
+        if store is None:
+            return self._empty("url_canon string, body string")
+        return store.select("url_canon", "body")
+
     def _checkpoint_frontier(self, df: DataFrame, rnd: int) -> None:
-        (
-            df.repartition(self.spark.sparkContext.defaultParallelism, "host")
-            .write.mode("overwrite")
-            .parquet(self._path("frontier", f"round={rnd}"))
-        )
+        # plain write: the parquet round-trip is the lineage break; frontier
+        # partitioning for the dequeue happens in the window shuffle anyway
+        df.write.mode("overwrite").parquet(self._path("frontier", f"round={rnd}"))
 
     def _write_manifest(self, rnd: int, metrics: dict) -> None:
         os.makedirs(self._path("rounds"), exist_ok=True)

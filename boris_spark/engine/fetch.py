@@ -1,0 +1,103 @@
+"""Live HTTP fetcher: distributed request->response in mapInPandas batches.
+
+Reproduces the reference's fetch semantics
+(/root/reference/hypertext-browser/http.rkt:79-136) per URL:
+
+- GET/POST with form-urlencoded payloads (http.rkt:71-75, 103-107);
+- Referer header from the originating page (http.rkt:92-95);
+- redirect chains followed recursively on a ``Location`` header with Referer
+  set to the redirecting URL (http.rkt:97-101, 111-122);
+- the response body decoded as text (the reference's body is a string,
+  hypertext-browser/base.rkt:30).
+
+The reference fetches one URL at a time on one thread; here each executor
+fetches its Arrow batch concurrently via a small thread pool (network-bound
+work — threads, not processes), and the engine's per-host politeness budget
+upstream bounds the per-round load per site. Rows are pre-partitioned by
+host so one executor talks to one host's sites per task, and connection
+reuse is local to the task.
+
+Exercised end-to-end against a local HTTP server in
+tests/test_http_fetch.py (the reference tests the same way via its
+echo-server, /root/reference/echo-server/main.rkt:34-59).
+"""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.parse
+import urllib.request
+from collections.abc import Iterator
+from concurrent.futures import ThreadPoolExecutor
+
+import pandas as pd
+
+MAX_REDIRECTS = 8
+
+
+class _NoRedirect(urllib.request.HTTPRedirectHandler):
+    def redirect_request(self, *a, **kw):  # noqa: D102
+        return None
+
+
+_OPENER = urllib.request.build_opener(_NoRedirect)
+
+
+def fetch_one(
+    url_full: str,
+    method: str = "GET",
+    payload: str | None = None,
+    referer: str | None = None,
+    timeout: float = 10.0,
+) -> tuple[int, str]:
+    """Fetch one URL, following redirects manually (http.rkt:111-122)."""
+    url = url_full
+    data = None
+    headers = {}
+    if referer:
+        headers["Referer"] = referer
+    if method == "POST" and payload:
+        fields = json.loads(payload)
+        data = urllib.parse.urlencode(dict(fields)).encode()
+        headers["Content-Type"] = "application/x-www-form-urlencoded"
+    for _ in range(MAX_REDIRECTS + 1):
+        req = urllib.request.Request(url, data=data, headers=headers, method=method)
+        try:
+            with _OPENER.open(req, timeout=timeout) as resp:
+                return (resp.status, resp.read().decode("utf-8", "replace"))
+        except urllib.error.HTTPError as e:
+            loc = e.headers.get("Location")
+            if loc and e.code in (301, 302, 303, 307, 308):
+                # redirect: GET the target with Referer (http.rkt:97-101)
+                headers["Referer"] = url
+                url = urllib.parse.urljoin(url, loc)
+                method, data = "GET", None
+                continue
+            return (e.code, e.read().decode("utf-8", "replace"))
+        except Exception:  # noqa: BLE001 — network errors → 0, empty body
+            return (0, "")
+    return (0, "")
+
+
+def make_http_fetch_fn(timeout: float = 10.0, threads: int = 8):
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        with ThreadPoolExecutor(max_workers=threads) as pool:
+            for pdf in batches:
+                results = list(
+                    pool.map(
+                        lambda r: fetch_one(
+                            r[0], r[1] or "GET", r[2], None, timeout
+                        ),
+                        zip(pdf["url_full"], pdf["method"], pdf["payload"]),
+                    )
+                )
+                out = pdf.copy()
+                out["status"] = [s for s, _ in results]
+                out["body"] = [b for _, b in results]
+                yield out[
+                    ["url_canon", "pk", "url_hash", "host", "url_full",
+                     "method", "payload", "body", "status"]
+                ]
+
+    return fetch

@@ -65,11 +65,12 @@ class RobotsSnapshotFetcher(SnapshotFetcher):
         super().__init__(pages)
         self.rules = rules
 
-    def fetch(self, url_canon: str, method: str = "GET", form_data=None):
+    def fetch(self, url_canon: str, method: str = "GET", form_data=None,
+              url_full: str | None = None):
         rest = url_canon.split("://", 1)[-1]
         host, _, pqf = rest.partition("/")
         pqf = "/" + pqf
         for rhost, prefix in self.rules:
             if rhost == host and pqf.startswith(prefix):
                 return (ROBOTS_STATUS, "")
-        return super().fetch(url_canon, method, form_data)
+        return super().fetch(url_canon, method, form_data, url_full)

@@ -24,19 +24,20 @@ from typing import Any
 
 import pandas as pd
 
-from ..kernel import host_of, resolve, url_hash
+from ..kernel import host_of, resolve2, url_hash
 from ..oracle import program as P
 from .compiler import NodeSpec
 
 CASCADE_SCHEMA = (
-    "kind string, pc long, cur_url string, bindings string, path_key string, "
-    "url_canon string, url_hash long, host string, referer string, "
-    "method string, value string, vkind string"
+    "kind string, pc long, cur_url string, cur_full string, bindings string, path_key string, "
+    "url_canon string, url_full string, url_hash long, host string, "
+    "referer string, method string, payload string, value string, vkind string"
 )
 
 _COLS = [
-    "kind", "pc", "cur_url", "bindings", "path_key", "url_canon",
-    "url_hash", "host", "referer", "method", "value", "vkind",
+    "kind", "pc", "cur_url", "cur_full", "bindings", "path_key", "url_canon",
+    "url_full", "url_hash", "host", "referer", "method", "payload", "value",
+    "vkind",
 ]
 
 
@@ -61,35 +62,37 @@ def _eval_node(
     node_table: dict[int, NodeSpec],
     pc: int,
     cur_url: str | None,
+    cur_full: str | None,
     body: str,
     bindings_json: str | None,
     path: str,
     out: list[dict],
 ) -> None:
     bindings = P.bindings_from_json(bindings_json)
-    ctx = P.EvalCtx(body or "", cur_url, bindings)
+    base = cur_full or cur_url
+    ctx = P.EvalCtx(body or "", base, bindings)
     kind = spec.kind
 
     if kind in ("go", "click"):
         urls = P.ensure_list(spec.urls.eval(ctx))
         for i, u in enumerate(urls):
-            canon = resolve(cur_url, str(u))
+            canon, full = resolve2(base, str(u))
             out.append(_out_row(
                 "request", pc=pc, bindings=bindings_json,
-                path_key=path + _hx(i), url_canon=canon,
+                path_key=path + _hx(i), url_canon=canon, url_full=full,
                 url_hash=url_hash(canon), host=host_of(canon),
                 referer=cur_url if kind == "click" else None, method="GET",
             ))
     elif kind == "submit":
         forms = P.ensure_list(spec.forms_expr.eval(ctx))
         for i, (action, _method, fields) in enumerate(forms):
-            canon = resolve(cur_url, str(action))
+            canon, full = resolve2(base, str(action))
             out.append(_out_row(
                 "request", pc=pc, bindings=bindings_json,
-                path_key=path + _hx(i), url_canon=canon,
+                path_key=path + _hx(i), url_canon=canon, url_full=full,
                 url_hash=url_hash(canon), host=host_of(canon),
                 referer=cur_url, method="POST",
-                value=encode_value([list(f) for f in fields]),
+                payload=encode_value([list(f) for f in fields]),
             ))
     elif kind in ("extract", "extract_list"):
         v = spec.value.eval(ctx)
@@ -112,21 +115,21 @@ def _eval_node(
             nb = P.bindings_to_json({**bindings, **bset})
             for j, child in enumerate(spec.child_ids):
                 out.append(_out_row(
-                    "apply", pc=child, cur_url=cur_url, bindings=nb,
+                    "apply", pc=child, cur_url=cur_url, cur_full=cur_full, bindings=nb,
                     path_key=path + _hx(i) + _hx(j),
                 ))
     elif kind == "label":
         nb = P.bindings_to_json({**bindings, P.LABEL_PREFIX + spec.name: pc})
         for j, child in enumerate(spec.child_ids):
             out.append(_out_row(
-                "apply", pc=child, cur_url=cur_url, bindings=nb,
+                "apply", pc=child, cur_url=cur_url, cur_full=cur_full, bindings=nb,
                 path_key=path + _hx(0) + _hx(j),
             ))
     elif kind == "recur":
         target = node_table[int(bindings[P.LABEL_PREFIX + spec.name])]
         for j, child in enumerate(target.child_ids):
             out.append(_out_row(
-                "apply", pc=child, cur_url=cur_url, bindings=bindings_json,
+                "apply", pc=child, cur_url=cur_url, cur_full=cur_full, bindings=bindings_json,
                 path_key=path + _hx(0) + _hx(j),
             ))
     elif kind == "show":
@@ -134,7 +137,7 @@ def _eval_node(
             spec.value.eval(ctx)  # effect parity only
         for j, child in enumerate(spec.child_ids):
             out.append(_out_row(
-                "apply", pc=child, cur_url=cur_url, bindings=bindings_json,
+                "apply", pc=child, cur_url=cur_url, cur_full=cur_full, bindings=bindings_json,
                 path_key=path + _hx(0) + _hx(j),
             ))
     elif kind == "download":
@@ -152,13 +155,15 @@ def make_cascade_fn(node_table: dict[int, NodeSpec]):
     def cascade(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out: list[dict] = []
-            for pc, cur_url, body, bindings_json, path in zip(
-                pdf["pc"], pdf["cur_url"], pdf["body"], pdf["bindings"], pdf["path_key"]
+            for pc, cur_url, cur_full, body, bindings_json, path in zip(
+                pdf["pc"], pdf["cur_url"], pdf["cur_full"], pdf["body"],
+                pdf["bindings"], pdf["path_key"]
             ):
                 pc = int(pc)
                 _eval_node(
                     node_table[pc], node_table, pc,
-                    None if cur_url is None or (isinstance(cur_url, float)) else cur_url,
+                    cur_url if isinstance(cur_url, str) else None,
+                    cur_full if isinstance(cur_full, str) else None,
                     body if isinstance(body, str) else "",
                     bindings_json if isinstance(bindings_json, str) else None,
                     path or "", out,

@@ -12,6 +12,7 @@ from .urlkit import (
     host_of,
     parse_url,
     resolve,
+    resolve2,
     url_hash,
 )
 from .htmlkit import (
@@ -32,7 +33,7 @@ from .htmlkit import (
 
 __all__ = [
     "xxh64", "xxh64_str", "to_signed64", "SPARK_SEED",
-    "canonicalize", "host_bucket", "host_of", "parse_url", "resolve", "url_hash",
+    "canonicalize", "host_bucket", "host_of", "parse_url", "resolve", "resolve2", "url_hash",
     "forms", "form_fill", "html_decode", "html_decode_star", "links",
     "links_text", "page_text", "page_title", "parse_html", "serialize",
     "xpath", "xpath_first", "xpath_text",

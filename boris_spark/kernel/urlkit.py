@@ -131,6 +131,31 @@ def resolve(base_url: str | None, url: str) -> str:
     return canonicalize(urljoin(base_url, url))
 
 
+def full_url(u: Url) -> str:
+    """Full request URL (userinfo/port preserved) — what the fetch stage
+    actually requests. The reference keeps the resolved request-url intact
+    and only drops port/userinfo in the CACHE key (url.rkt:37-38); the engine
+    mirrors that by carrying (url_full, url_canon) per request."""
+    auth = ""
+    if u.userinfo:
+        auth = u.userinfo + "@"
+    port = f":{u.port}" if u.port else ""
+    return f"{u.scheme or ''}://{auth}{u.host or ''}{port}{path_query_fragment(u)}"
+
+
+def resolve2(base_url: str | None, url: str) -> tuple[str, str]:
+    """(canonical cache key, full request url) of *url* resolved against
+    *base_url*."""
+    url = url.strip()
+    if not has_scheme(url) and base_url:
+        url = urljoin(base_url, url)
+    u = parse_url(url)
+    return (
+        f"{u.scheme or ''}://{u.host or ''}{path_query_fragment(u)}",
+        full_url(u),
+    )
+
+
 def url_hash(canonical_url: str) -> int:
     """Signed 64-bit seen-set key — equals Spark ``F.xxhash64(url_canon)``."""
     return xxh64_str(canonical_url)

@@ -404,21 +404,24 @@ def dedup_minhash_lsh(spark, sf_dir):
             for i in range(n_hashes)
         ]
     )
-    bands = []
-    for b in range(n_hashes // rows_per_band):
-        cols = [f"h{b * rows_per_band + r}" for r in range(rows_per_band)]
-        bands.append(
-            sig.select(
-                "doc_id",
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    F.concat_ws(",", *[F.col(c).cast("string") for c in cols])
-                ).alias("band_sig"),
-            )
+    # one scan: explode an array of (band, band_sig) structs instead of
+    # unioning 16 re-aggregations of the signature frame
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                F.concat_ws(",", *[
+                    F.col(f"h{b * rows_per_band + r}").cast("string")
+                    for r in range(rows_per_band)
+                ])
+            ).alias("band_sig"),
         )
-    allb = bands[0]
-    for x in bands[1:]:
-        allb = allb.unionByName(x)
+        for b in range(n_hashes // rows_per_band)
+    ])
+    allb = (
+        sig.select("doc_id", F.explode(band_structs).alias("bs"))
+        .select("doc_id", F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig"))
+    )
     a, b2 = allb.alias("a"), allb.alias("b")
     cand = (
         a.join(

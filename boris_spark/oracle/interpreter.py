@@ -20,12 +20,13 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Any, Protocol
 
-from ..kernel import canonicalize, resolve
+from ..kernel import resolve2
 from . import program as P
 
 
 class Fetcher(Protocol):
-    def fetch(self, url_canon: str, method: str = "GET", form_data=None) -> tuple[int, str]:
+    def fetch(self, url_canon: str, method: str = "GET", form_data=None,
+              url_full: str | None = None) -> tuple[int, str]:
         """Return (status, body)."""
 
 
@@ -40,7 +41,8 @@ class SnapshotFetcher:
     def __init__(self, pages: dict[str, str]):
         self.pages = pages
 
-    def fetch(self, url_canon: str, method: str = "GET", form_data=None) -> tuple[int, str]:
+    def fetch(self, url_canon: str, method: str = "GET", form_data=None,
+              url_full: str | None = None) -> tuple[int, str]:
         body = self.pages.get(url_canon)
         return (200, body) if body is not None else (404, "")
 
@@ -66,7 +68,8 @@ class OracleResult:
 
 @dataclass
 class _State:
-    url: str | None = None
+    url: str | None = None       # canonical (the cache key)
+    url_full: str | None = None  # full request url (the reference's browser-url)
     body: str = ""
     bindings: dict[str, Any] = field(default_factory=dict)
 
@@ -92,7 +95,7 @@ class Spider:
         self._steps += 1
         if self._steps > self._max_steps:
             raise RuntimeError("oracle step budget exceeded (cyclic program?)")
-        ctx = P.EvalCtx(state.body, state.url, state.bindings)
+        ctx = P.EvalCtx(state.body, state.url_full or state.url, state.bindings)
 
         if isinstance(node, (P.Go, P.Click)):
             urls = P.ensure_list(node.urls.eval(ctx))
@@ -109,13 +112,14 @@ class Spider:
             self._yield_flies(path, vs)
         elif isinstance(node, (P.LetWeb, P.ForWeb)):
             for i, bset in enumerate(self._binding_sets(node, ctx)):
-                new = _State(state.url, state.body, {**state.bindings, **bset})
+                new = _State(state.url, state.url_full, state.body,
+                             {**state.bindings, **bset})
                 self._fan_children(node.children, new, path, i)
         elif isinstance(node, P.Label):
             # control.rkt:14-20 — bind the label node itself (the web whose
             # head is this bind) so recur can re-enter its children.
             new = _State(
-                state.url, state.body,
+                state.url, state.url_full, state.body,
                 {**state.bindings, P.LABEL_PREFIX + node.name: node},
             )
             self._fan_children(node.children, new, path, 0)
@@ -152,18 +156,16 @@ class Spider:
 
     def _navigate(self, node, state: _State, path, requests) -> None:
         for i, (u, method, form_data) in enumerate(requests):
-            url_canon = resolve(state.url, str(u)) if method == "GET" else (
-                resolve(state.url, str(u))
-            )
+            url_canon, url_full = resolve2(state.url_full or state.url, str(u))
             self.result.discoveries.append((url_canon, path + (i,)))
             if url_canon in self.cache:
                 body = self.cache[url_canon]  # cache hit: replay
             else:
-                _status, body = self.fetcher.fetch(url_canon, method, form_data)
+                _status, body = self.fetcher.fetch(url_canon, method, form_data, url_full)
                 self.cache[url_canon] = body
                 self.result.visits.append(url_canon)
                 self.result.seen.add(url_canon)
-            new = _State(url_canon, body, dict(state.bindings))
+            new = _State(url_canon, url_full, body, dict(state.bindings))
             self._fan_children(node.children, new, path, i)
 
     def _fan_children(self, children, state: _State, path, i: int) -> None:
