@@ -157,7 +157,8 @@ class CrawlEngine:
                     self.bloom.add_delta(seen.select("bucket", "url_hash").toPandas())
         if start_round == 0:
             init = self.spark.createDataFrame(
-                [(root.node_id, None, None, None, "")], APPLY_SCHEMA
+                [(root.node_id, None, None, None, "", None)],
+                APPLY_SCHEMA + ", body string",
             )
             requests, n_init_results = self._cascade(init, rnd=0)
             self._checkpoint_frontier(requests, 0)
@@ -245,7 +246,7 @@ class CrawlEngine:
         else:
             selected = unseen
 
-        fetched = self._fetch(selected, rnd)
+        fetched = self._fetch(selected, rnd).persist()
 
         seen_delta = fetched.select(
             "url_hash", "url_canon", "host", "bucket", "status",
@@ -281,15 +282,34 @@ class CrawlEngine:
         ok = requests.join(ok_urls, "url_canon", "left_semi")
         deferred = requests.join(ok_urls, "url_canon", "left_anti")
 
+        # attach bodies ONCE per round: freshly fetched bodies + (for
+        # cache-hit traversals) the store/pages bodies of previously-seen
+        # urls — the cascade then carries the body forward through its
+        # generations, so the big pages table is never re-shuffled per
+        # generation (the property that matters at 100 TB)
+        cached_bodies = self._body_source().join(
+            seen_hits.select("url_canon"), "url_canon", "left_semi"
+        )
+        if self.robots is not None:
+            # robots-blocked pages traverse with an empty body even when the
+            # snapshot table has content for them
+            blocked_all = self._read_sink("seen").where(F.col("status") == 999)
+            cached_bodies = cached_bodies.join(
+                blocked_all.select("url_canon"), "url_canon", "left_anti"
+            )
+        bodies = fetched.select("url_canon", "body").unionByName(cached_bodies)
+
         # fan to children of the navigate node: broadcast join on tiny node map
         apply0 = (
             ok.join(F.broadcast(self.child_map), "pc")
+            .join(bodies, "url_canon", "left")
             .select(
                 F.col("child_pc").alias("pc"),
                 F.col("url_canon").alias("cur_url"),
                 F.col("url_full").alias("cur_full"),
                 "bindings",
                 F.concat("path_key", F.format_string("%08x", F.col("j"))).alias("path_key"),
+                "body",
             )
         )
 
@@ -305,6 +325,7 @@ class CrawlEngine:
         requests.unpersist()
         urls.unpersist()
         unseen.unpersist()
+        fetched.unpersist()
         metrics = {
             "fetched": n_fetched,
             "results": n_results,
@@ -389,31 +410,13 @@ class CrawlEngine:
             gen += 1
             if gen > 200:
                 raise RuntimeError("cascade depth exceeded (fetch-free recur loop?)")
-            with_body = apply_df.join(
-                self._body_source().withColumnRenamed("url_canon", "cur_url"),
-                "cur_url", "left"
-            ).select("pc", "cur_url", "cur_full",
-                     F.coalesce("body", F.lit("")).alias("body"),
-                     "bindings", "path_key")
-            if self.robots is not None:
-                # robots-blocked pages traverse with an empty body even when
-                # the snapshot table has content for them
-                seen = self._read_sink("seen")
-                if seen is not None:
-                    blocked_urls = (
-                        seen.where(F.col("status") == 999)
-                        .select(F.col("url_canon").alias("cur_url"))
-                        .distinct()
-                        .withColumn("_blk", F.lit(1))
-                    )
-                    with_body = (
-                        with_body.join(blocked_urls, "cur_url", "left")
-                        .withColumn(
-                            "body",
-                            F.when(F.col("_blk") == 1, F.lit("")).otherwise(F.col("body")),
-                        )
-                        .drop("_blk")
-                    )
+            # bodies were attached once at fan-out and are carried forward
+            # by the cascade itself — no per-generation join
+            with_body = apply_df.select(
+                "pc", "cur_url", "cur_full",
+                F.coalesce("body", F.lit("")).alias("body"),
+                "bindings", "path_key",
+            )
             out = with_body.mapInPandas(self._cascade_fn, CASCADE_SCHEMA).persist()
             results = out.where(F.col("kind") == "result").select(
                 "path_key", "value", "vkind"
@@ -429,7 +432,7 @@ class CrawlEngine:
                 out.where(F.col("kind") == "request").select(*_REQ_COLS)
             )
             apply_df = out.where(F.col("kind") == "apply").select(
-                "pc", "cur_url", "cur_full", "bindings", "path_key"
+                "pc", "cur_url", "cur_full", "bindings", "path_key", "body"
             )
         return requests_acc, n_results
 

@@ -31,13 +31,13 @@ from .compiler import NodeSpec
 CASCADE_SCHEMA = (
     "kind string, pc long, cur_url string, cur_full string, bindings string, path_key string, "
     "url_canon string, url_full string, url_hash long, host string, "
-    "referer string, method string, payload string, value string, vkind string"
+    "referer string, method string, payload string, value string, vkind string, body string"
 )
 
 _COLS = [
     "kind", "pc", "cur_url", "cur_full", "bindings", "path_key", "url_canon",
     "url_full", "url_hash", "host", "referer", "method", "payload", "value",
-    "vkind",
+    "vkind", "body",
 ]
 
 
@@ -116,21 +116,21 @@ def _eval_node(
             for j, child in enumerate(spec.child_ids):
                 out.append(_out_row(
                     "apply", pc=child, cur_url=cur_url, cur_full=cur_full, bindings=nb,
-                    path_key=path + _hx(i) + _hx(j),
+                    path_key=path + _hx(i) + _hx(j), body=body,
                 ))
     elif kind == "label":
         nb = P.bindings_to_json({**bindings, P.LABEL_PREFIX + spec.name: pc})
         for j, child in enumerate(spec.child_ids):
             out.append(_out_row(
                 "apply", pc=child, cur_url=cur_url, cur_full=cur_full, bindings=nb,
-                path_key=path + _hx(0) + _hx(j),
+                path_key=path + _hx(0) + _hx(j), body=body,
             ))
     elif kind == "recur":
         target = node_table[int(bindings[P.LABEL_PREFIX + spec.name])]
         for j, child in enumerate(target.child_ids):
             out.append(_out_row(
                 "apply", pc=child, cur_url=cur_url, cur_full=cur_full, bindings=bindings_json,
-                path_key=path + _hx(0) + _hx(j),
+                path_key=path + _hx(0) + _hx(j), body=body,
             ))
     elif kind == "show":
         if spec.value is not None:
@@ -138,7 +138,7 @@ def _eval_node(
         for j, child in enumerate(spec.child_ids):
             out.append(_out_row(
                 "apply", pc=child, cur_url=cur_url, cur_full=cur_full, bindings=bindings_json,
-                path_key=path + _hx(0) + _hx(j),
+                path_key=path + _hx(0) + _hx(j), body=body,
             ))
     elif kind == "download":
         out.append(_out_row(

@@ -40,6 +40,12 @@ def main():
     thr_lo = lo["crawl"]["urls_per_sec"]
     thr_hi = hi["crawl"]["urls_per_sec"]
     eff = (thr_hi / thr_lo) / 4
+    # determinism across parallelism levels (SURVEY.md §5 item 4): the same
+    # seed must produce identical crawl output at local[8] and local[32]
+    deterministic = (
+        lo["crawl"]["fetched"] == hi["crawl"]["fetched"]
+        and lo["crawl"]["extractions"] == hi["crawl"]["extractions"]
+    )
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     qrows = "\n".join(
         f"| {name} | {lo['queries'].get(name, '-')} | {hi['queries'].get(name, '-')} |"
@@ -64,6 +70,9 @@ sandbox).
 **Scaling efficiency (throughput_4N / throughput_N) / 4 = {eff:.2f}**
 (target ≥ 0.8 per BASELINE.json; raw speedup {thr_hi / thr_lo:.2f}× on 4× cores)
 
+Determinism across parallelism levels (same seed ⇒ identical fetched +
+extraction counts at both levels): **{deterministic}**
+
 ## Per-query wall seconds (sf dir {sf_dir})
 
 | query | local[8] | local[32] |
@@ -79,7 +88,10 @@ Raw JSON:
 """
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
-    print(json.dumps({"thr_local8": thr_lo, "thr_local32": thr_hi, "efficiency": round(eff, 3)}))
+    print(json.dumps({
+        "thr_local8": thr_lo, "thr_local32": thr_hi,
+        "efficiency": round(eff, 3), "deterministic": deterministic,
+    }))
 
 
 if __name__ == "__main__":
