@@ -45,7 +45,7 @@ BENCH_QUERIES = [
 ]
 
 
-def build_corpus(spark, n_pages: int, seed: int, path: str):
+def build_corpus(spark, n_pages: int, seed: int, path: str, weight: int):
     """Generate the synthetic corpus in parallel (mapInPandas over id ranges)
     and cache it as parquet — deterministic in (n_pages, seed)."""
     if os.path.isdir(path):
@@ -56,7 +56,7 @@ def build_corpus(spark, n_pages: int, seed: int, path: str):
         import pandas as pd
 
         for pdf in batches:
-            rows = [webgen.page_row(int(p), n_pages, seed) for p in pdf["id"]]
+            rows = [webgen.page_row(int(p), n_pages, seed, weight) for p in pdf["id"]]
             yield pd.DataFrame(rows)
 
     (
@@ -70,19 +70,22 @@ def build_corpus(spark, n_pages: int, seed: int, path: str):
 
 def crawl_bench(spark, n_pages: int, workdir: str) -> dict:
     from boris_spark.engine.crawler import CrawlEngine
-    from boris_spark.oracle.program import Extract, Go, Lit, PageFeaturesE, XpathE
+    from boris_spark.oracle.program import Extract, Go, Lit, PageProfileE, XpathE
     from boris_spark.synth import webgen
 
     seed = 42
+    weight = int(os.environ.get("BORIS_PAGE_WEIGHT", "8"))
     corpus_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), ".bench_data", f"pages_{n_pages}_{seed}"
+        os.path.dirname(os.path.abspath(__file__)), ".bench_data",
+        f"pages_{n_pages}_{seed}_w{weight}",
     )
-    build_corpus(spark, n_pages, seed, corpus_path)
+    build_corpus(spark, n_pages, seed, corpus_path, weight)
     pages = spark.read.parquet(corpus_path)
 
     seeds = [webgen.page_url(i, n_pages, seed) for i in range(0, n_pages, 16)]
     links_q = XpathE("//td[@class='title']/a/@href/text()")
-    feat = Extract(PageFeaturesE())
+    # fetch+extract payload: the full dedup-pipeline per-page featurization
+    feat = Extract(PageProfileE())
     program = Go(
         Lit(seeds), feat,
         Go(links_q, feat, Go(links_q, feat)),
@@ -97,6 +100,7 @@ def crawl_bench(spark, n_pages: int, workdir: str) -> dict:
     wall = time.time() - t0
     return {
         "pages": n_pages,
+        "page_weight": weight,
         "fetched": summary.fetched,
         "extractions": summary.results,
         "rounds": summary.rounds,

@@ -85,6 +85,7 @@ class CrawlEngine:
         robots_rules: DataFrame | None = None,
         fetch_mode: str = "snapshot",  # "snapshot" | "http"
         http_timeout: float = 10.0,
+        record_discoveries: bool = True,
     ):
         self.spark = spark
         self.workdir = workdir
@@ -96,6 +97,7 @@ class CrawlEngine:
         self.robots = robots_rules
         self.fetch_mode = fetch_mode
         self.http_timeout = http_timeout
+        self.record_discoveries = record_discoveries
         os.makedirs(workdir, exist_ok=True)
         self.pages = None
         if pages_df is not None:
@@ -193,13 +195,18 @@ class CrawlEngine:
     # ------------------------------------------------------------- rounds
 
     def _round(self, requests: DataFrame, rnd: int):
+        import time as _t
+        _marks = [("start", _t.time())]
+        _mark = lambda label: _marks.append((label, _t.time()))  # noqa: E731
         requests = requests.persist()
 
         # discoveries sink: every (url, path) reach — min path per url is the
         # reference's first-visit order (DFS pre-order = lex path order)
-        self._append(
-            requests.select("url_canon", "url_hash", "path_key"), "discoveries", rnd
-        )
+        if self.record_discoveries:
+            self._append(
+                requests.select("url_canon", "url_hash", "path_key"), "discoveries", rnd
+            )
+        _mark("discoveries")
 
         # one fetch candidate per distinct url, priority = lex-min path_key
         urls = requests.groupBy("url_canon").agg(
@@ -260,6 +267,7 @@ class CrawlEngine:
                 )
             )
         self._append(seen_delta, "seen", rnd)
+        _mark("fetch+seen_write")
 
         # single read-back of this round's seen delta drives the bloom fold,
         # the fetch metrics, and the per-partition lineage (ONE action; at
@@ -267,6 +275,7 @@ class CrawlEngine:
         # the metrics a groupBy — same data flow)
         delta = self.spark.read.parquet(self._path("seen", f"round={rnd}"))
         delta_pdf = delta.select("bucket", "url_hash", "host", "status").toPandas()
+        _mark("delta_readback")
         if self.bloom is not None:
             self.bloom.add_delta(delta_pdf[["bucket", "url_hash"]])
         n_fetched = int((delta_pdf["status"] != 999).sum())
@@ -315,12 +324,15 @@ class CrawlEngine:
 
         # results-sink keys: (rnd+1)*1000+gen — the pre-round init cascade
         # owns the 0..999 key space
+        _mark("pre_cascade")
         new_requests, n_results = self._cascade(apply0, rnd + 1)
+        _mark("cascade")
         frontier_next = new_requests.unionByName(
             deferred.select(*_REQ_COLS)
         )
         self._checkpoint_frontier(frontier_next, rnd + 1)
         frontier_next = self.spark.read.parquet(self._path("frontier", f"round={rnd + 1}"))
+        _mark("frontier_ckpt")
 
         requests.unpersist()
         urls.unpersist()
@@ -330,6 +342,10 @@ class CrawlEngine:
             "fetched": n_fetched,
             "results": n_results,
             "partitions": lineage,
+            "phases": {
+                b: round(tb - ta, 2)
+                for (a, ta), (b, tb) in zip(_marks, _marks[1:])
+            },
         }
         return frontier_next, n_fetched, n_results, metrics
 
@@ -401,17 +417,23 @@ class CrawlEngine:
 
     def _cascade(self, apply_df: DataFrame, rnd: int):
         """Evaluate non-fetch nodes to fixpoint; returns (requests, n_results)."""
+        import time as _t
         requests_acc = self._empty(REQUEST_SCHEMA)
         n_results = 0
         gen = 0
         while True:
+            _g0 = _t.time()
             if apply_df.isEmpty():
                 break
+            _g1 = _t.time()
             gen += 1
             if gen > 200:
                 raise RuntimeError("cascade depth exceeded (fetch-free recur loop?)")
             # bodies were attached once at fan-out and are carried forward
-            # by the cascade itself — no per-generation join
+            # by the cascade itself — no per-generation join. Partitioning
+            # comes from the fan-out join's shuffle (AQE coalescing is off in
+            # the engine session so the CPU-heavy python stage keeps full
+            # parallelism without an extra body shuffle here).
             with_body = apply_df.select(
                 "pc", "cur_url", "cur_full",
                 F.coalesce("body", F.lit("")).alias("body"),
@@ -425,9 +447,12 @@ class CrawlEngine:
                 "path_key", F.col("cur_url").alias("url"), "value"
             )
             self._append(results, "results", rnd * 1000 + gen)
+            _g2 = _t.time()
             if not downloads.isEmpty():
                 self._append(downloads, "downloads", rnd * 1000 + gen)
+            _g3 = _t.time()
             n_results += results.count()
+            print(f"  cascade gen{gen}: isEmpty={_g1-_g0:.2f} eval+write={_g2-_g1:.2f} dl={_g3-_g2:.2f} cnt={_t.time()-_g3:.2f}")
             requests_acc = requests_acc.unionByName(
                 out.where(F.col("kind") == "request").select(*_REQ_COLS)
             )
@@ -449,9 +474,18 @@ class CrawlEngine:
         return store.select("url_canon", "body")
 
     def _checkpoint_frontier(self, df: DataFrame, rnd: int) -> None:
-        # plain write: the parquet round-trip is the lineage break; frontier
-        # partitioning for the dequeue happens in the window shuffle anyway
-        df.write.mode("overwrite").parquet(self._path("frontier", f"round={rnd}"))
+        # The parquet round-trip is the lineage break. Repartitioning here is
+        # load-bearing twice over: request rows are tiny (no bodies), the
+        # frontier's file count sets the probe-side partitioning of next
+        # round's broadcast joins (without it a narrow init cascade
+        # propagates 1-2 partitions into the CPU-heavy python stages), and it
+        # must be ROUND-ROBIN — partitioning by host would put the Zipf hot
+        # host's half of the frontier into one straggler task.
+        (
+            df.repartition(self.spark.sparkContext.defaultParallelism)
+            .write.mode("overwrite")
+            .parquet(self._path("frontier", f"round={rnd}"))
+        )
 
     def _write_manifest(self, rnd: int, metrics: dict) -> None:
         os.makedirs(self._path("rounds"), exist_ok=True)

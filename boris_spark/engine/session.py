@@ -33,7 +33,11 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # coalescing OFF: AQE sizes partitions by bytes, which serializes the
+        # CPU-heavy Arrow/pandas stages downstream of small-byte shuffles
+        # (observed: a 60k-row join coalesced to 2 tasks before mapInPandas).
+        # Skew-join splitting stays on.
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

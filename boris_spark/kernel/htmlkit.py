@@ -513,6 +513,42 @@ def page_features(html: str) -> list:
     return [title, text, len(hrefs), len(text.split())]
 
 
+def page_profile(html: str, minhash_perms: int = 4) -> list:
+    """Full training-pipeline featurization of one page — what a crawl's
+    fetch+extract stage computes per document in a dedup-oriented pipeline:
+    title, extracted text, link count, token count, whitespace-normalized
+    md5 fingerprint, 64-bit SimHash, and a MinHash signature over 3-gram
+    word shingles (``minhash_perms`` salted md5 permutations; hashlib C
+    speed, not per-row Python overhead)."""
+    import hashlib
+    import re as _re
+
+    title, text, n_links, n_tokens = page_features(html)
+    norm = _re.sub(r"\s+", " ", text)
+    fingerprint = hashlib.md5(norm.encode()).hexdigest()
+    toks = [t for t in _re.split(r"[^a-z0-9]+", text.lower()) if t]
+    # simhash over distinct tokens (60-bit, md5-derived — the same
+    # construction as the dedup_simhash query)
+    votes = [0] * 60
+    for tok in set(toks):
+        h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+        for b in range(60):
+            votes[b] += 1 if (h >> b) & 1 else -1
+    simhash = sum(1 << b for b in range(60) if votes[b] > 0)
+    # minhash signature over 3-gram shingles
+    shingles = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+    sig = []
+    for p in range(minhash_perms):
+        salt = f"{p}:".encode()
+        m = min(
+            (int.from_bytes(hashlib.md5(salt + s.encode()).digest()[:8], "big")
+             for s in shingles),
+            default=0,
+        )
+        sig.append(m)
+    return [title, text, n_links, n_tokens, fingerprint, simhash, sig]
+
+
 def page_text(html: str) -> str:
     """THE canonical HTML→text extraction for the pages table's ``text``
     column: xpath/text over every <p>, newline-joined. Byte-identical between

@@ -224,10 +224,21 @@ class First(Expr):
 @dataclass
 class PageFeaturesE(Expr):
     """One-parse featurization of the current page (title, text, n_links,
-    n_tokens) — the crawl bench's fetch+extract payload."""
+    n_tokens)."""
 
     def eval(self, ctx):
         return htmlkit.page_features(ctx.body)
+
+
+@dataclass
+class PageProfileE(Expr):
+    """Full dedup-pipeline featurization (title, text, links, tokens,
+    fingerprint, simhash, minhash signature) — the crawl bench's
+    fetch+extract payload."""
+    minhash_perms: int = 4
+
+    def eval(self, ctx):
+        return htmlkit.page_profile(ctx.body, self.minhash_perms)
 
 
 @dataclass

@@ -93,12 +93,23 @@ def out_links(page: int, n_pages: int, seed: int) -> list[str]:
     return [page_url(t, n_pages, seed) for t in dict.fromkeys(targets)]
 
 
-def page_html(page: int, n_pages: int, seed: int) -> str:
+PAGE_WEIGHT = 1  # paragraphs-per-page multiplier; bench raises it for
+# realistically-sized (multi-KB) Common-Crawl-like documents
+
+
+def page_html(page: int, n_pages: int, seed: int, weight: int | None = None) -> str:
     host, local, _ = _host_of_page(page, n_pages, seed)
     r = xxh64_str(f"{seed}:{page}") & 0x7FFFFFFF
-    words = [_WORDS[(r + i * 31) % len(_WORDS)] for i in range(8 + r % 24)]
-    para1 = " ".join(words[: len(words) // 2])
-    para2 = " ".join(words[len(words) // 2 :])
+    weight = PAGE_WEIGHT if weight is None else weight
+    n_paras = 2 * weight
+    words_per = (8 + r % 24) // 2 * max(1, weight // 2) + 4
+    paras = []
+    for pi in range(n_paras):
+        rw = (r + pi * 7919) & 0x7FFFFFFF
+        paras.append(" ".join(
+            _WORDS[(rw + i * 31) % len(_WORDS)] for i in range(words_per)
+        ))
+    body = "".join(f"<p>{p}</p>" for p in paras)
     anchors = "".join(
         f"<td class='title'><a href='{u}'>link {i}</a></td>"
         for i, u in enumerate(out_links(page, n_pages, seed))
@@ -108,7 +119,7 @@ def page_html(page: int, n_pages: int, seed: int) -> str:
         more = f"<td class='title'><a href='/p/{local + 1}'>More</a></td>"
     return (
         f"<html><head><title>page {page} on {host}</title></head><body>"
-        f"<p>{para1}</p><p>{para2}</p>{anchors}{more}</body></html>"
+        f"{body}{anchors}{more}</body></html>"
     )
 
 
@@ -116,8 +127,8 @@ def page_lang(page: int, seed: int) -> str:
     return _LANGS[(xxh64_str(f"lang:{seed}:{page}")) % len(_LANGS)]
 
 
-def page_row(page: int, n_pages: int, seed: int) -> dict:
-    html = page_html(page, n_pages, seed)
+def page_row(page: int, n_pages: int, seed: int, weight: int | None = None) -> dict:
+    html = page_html(page, n_pages, seed, weight)
     return {
         "url": page_url(page, n_pages, seed),
         "warc_ts": EPOCH + dt.timedelta(seconds=page % 86400),
@@ -127,20 +138,20 @@ def page_row(page: int, n_pages: int, seed: int) -> dict:
     }
 
 
-def corpus(n_pages: int, seed: int = 42):
+def corpus(n_pages: int, seed: int = 42, weight: int | None = None):
     """Yield page rows (dicts in the input_hint schema)."""
     for p in range(n_pages):
-        yield page_row(p, n_pages, seed)
+        yield page_row(p, n_pages, seed, weight)
 
 
 def seeds_for(n_pages: int, seed: int, n_seeds: int = 4) -> list[str]:
     return [page_url(i * max(1, n_pages // (n_seeds + 1)), n_pages, seed) for i in range(n_seeds)]
 
 
-def corpus_pages_dict(n_pages: int, seed: int = 42) -> dict[str, str]:
+def corpus_pages_dict(n_pages: int, seed: int = 42, weight: int | None = None) -> dict[str, str]:
     """Snapshot dict {canonical_url: html} for the oracle fetcher."""
     return {
-        page_url(p, n_pages, seed): page_html(p, n_pages, seed)
+        page_url(p, n_pages, seed): page_html(p, n_pages, seed, weight)
         for p in range(n_pages)
     }
 
