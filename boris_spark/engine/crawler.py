@@ -131,11 +131,33 @@ class CrawlEngine:
     def _empty(self, schema: str) -> DataFrame:
         return self.spark.createDataFrame([], schema)
 
+    @staticmethod
+    def _pq_rows(path: str) -> int:
+        """Row count from parquet footers — no Spark job."""
+        import pyarrow.parquet as pq
+
+        return sum(
+            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+            for f in os.listdir(path) if f.endswith(".parquet")
+        )
+
+    @staticmethod
+    def _pq_read(path: str, columns=None):
+        """Small-delta driver-side parquet read — no Spark job. At design
+        scale this becomes a distributed read; the deltas here are one
+        round's fetch keys."""
+        import pyarrow.parquet as pq
+
+        return pq.read_table(path, columns=columns).to_pandas()
+
     # -------------------------------------------------------------- run
 
     def run(self, root: P.Node, max_rounds: int = 1000, resume: bool = False) -> CrawlSummary:
         t0 = time.time()
         self.node_table = compile_program(root)
+        self._has_downloads = any(
+            spec.kind == "download" for spec in self.node_table.values()
+        )
         self._cascade_fn = make_cascade_fn(self.node_table)
         child_rows = [
             (pc, j, c)
@@ -162,8 +184,10 @@ class CrawlEngine:
                 [(root.node_id, None, None, None, "", None)],
                 APPLY_SCHEMA + ", body string",
             )
-            requests, n_init_results = self._cascade(init, rnd=0)
+            requests, n_init_results, persisted = self._cascade(init, rnd=0)
             self._checkpoint_frontier(requests, 0)
+            for df in persisted:
+                df.unpersist()
         requests = self.spark.read.parquet(self._path("frontier", f"round={start_round}"))
 
         rnd = start_round
@@ -198,6 +222,7 @@ class CrawlEngine:
         import time as _t
         _marks = [("start", _t.time())]
         _mark = lambda label: _marks.append((label, _t.time()))  # noqa: E731
+        self._round_persists: list[DataFrame] = []
         requests = requests.persist()
 
         # discoveries sink: every (url, path) reach — min path per url is the
@@ -269,12 +294,14 @@ class CrawlEngine:
         self._append(seen_delta, "seen", rnd)
         _mark("fetch+seen_write")
 
-        # single read-back of this round's seen delta drives the bloom fold,
-        # the fetch metrics, and the per-partition lineage (ONE action; at
-        # design scale the bloom fold becomes a distributed applyInPandas and
-        # the metrics a groupBy — same data flow)
-        delta = self.spark.read.parquet(self._path("seen", f"round={rnd}"))
-        delta_pdf = delta.select("bucket", "url_hash", "host", "status").toPandas()
+        # single driver-side read-back of this round's (small) seen delta
+        # drives the bloom fold, the fetch metrics, and the per-partition
+        # lineage — zero extra Spark jobs (at design scale the bloom fold
+        # becomes a distributed applyInPandas and the metrics a groupBy)
+        delta_pdf = self._pq_read(
+            self._path("seen", f"round={rnd}"),
+            columns=["bucket", "url_hash", "host", "status", "url_canon"],
+        )
         _mark("delta_readback")
         if self.bloom is not None:
             self.bloom.add_delta(delta_pdf[["bucket", "url_hash"]])
@@ -287,7 +314,10 @@ class CrawlEngine:
 
         # requests whose url is now fetched/blocked/previously-seen proceed;
         # the rest (over politeness budget) defer to the next round
-        ok_urls = seen_hits.select("url_canon").unionByName(delta.select("url_canon"))
+        delta_urls = self.spark.createDataFrame(
+            delta_pdf[["url_canon"]], "url_canon string"
+        )
+        ok_urls = seen_hits.select("url_canon").unionByName(delta_urls)
         ok = requests.join(ok_urls, "url_canon", "left_semi")
         deferred = requests.join(ok_urls, "url_canon", "left_anti")
 
@@ -325,7 +355,7 @@ class CrawlEngine:
         # results-sink keys: (rnd+1)*1000+gen — the pre-round init cascade
         # owns the 0..999 key space
         _mark("pre_cascade")
-        new_requests, n_results = self._cascade(apply0, rnd + 1)
+        new_requests, n_results, persisted = self._cascade(apply0, rnd + 1)
         _mark("cascade")
         frontier_next = new_requests.unionByName(
             deferred.select(*_REQ_COLS)
@@ -338,6 +368,10 @@ class CrawlEngine:
         urls.unpersist()
         unseen.unpersist()
         fetched.unpersist()
+        for df in persisted:
+            df.unpersist()
+        for df in self._round_persists:
+            df.unpersist()
         metrics = {
             "fetched": n_fetched,
             "results": n_results,
@@ -409,6 +443,7 @@ class CrawlEngine:
                 urls.schema.simpleString().replace("struct<", "").rstrip(">").replace(":", " ")
                 + ", maybe_seen boolean",
             ).persist()
+            self._round_persists.append(flagged)
             definitely_new = flagged.where(~F.col("maybe_seen")).drop("maybe_seen")
             maybe = flagged.where(F.col("maybe_seen")).drop("maybe_seen")
             checked = maybe.join(seen_keys, ["url_hash", "url_canon"], "left_anti")
@@ -416,11 +451,14 @@ class CrawlEngine:
         return urls.join(seen_keys, ["url_hash", "url_canon"], "left_anti")
 
     def _cascade(self, apply_df: DataFrame, rnd: int):
-        """Evaluate non-fetch nodes to fixpoint; returns (requests, n_results)."""
+        """Evaluate non-fetch nodes to fixpoint; returns
+        (requests, n_results, persisted handles to release after the
+        frontier checkpoint materializes the requests)."""
         import time as _t
         requests_acc = self._empty(REQUEST_SCHEMA)
         n_results = 0
         gen = 0
+        persisted: list[DataFrame] = []
         while True:
             _g0 = _t.time()
             if apply_df.isEmpty():
@@ -440,6 +478,7 @@ class CrawlEngine:
                 "bindings", "path_key",
             )
             out = with_body.mapInPandas(self._cascade_fn, CASCADE_SCHEMA).persist()
+            persisted.append(out)
             results = out.where(F.col("kind") == "result").select(
                 "path_key", "value", "vkind"
             )
@@ -448,18 +487,19 @@ class CrawlEngine:
             )
             self._append(results, "results", rnd * 1000 + gen)
             _g2 = _t.time()
-            if not downloads.isEmpty():
+            if self._has_downloads and not downloads.isEmpty():
                 self._append(downloads, "downloads", rnd * 1000 + gen)
             _g3 = _t.time()
-            n_results += results.count()
-            print(f"  cascade gen{gen}: isEmpty={_g1-_g0:.2f} eval+write={_g2-_g1:.2f} dl={_g3-_g2:.2f} cnt={_t.time()-_g3:.2f}")
+            n_results += self._pq_rows(self._path("results", f"round={rnd * 1000 + gen}"))
+            if os.environ.get("BORIS_TIMING"):
+                print(f"  cascade gen{gen}: isEmpty={_g1-_g0:.2f} eval+write={_g2-_g1:.2f} dl={_g3-_g2:.2f} cnt={_t.time()-_g3:.2f}")
             requests_acc = requests_acc.unionByName(
                 out.where(F.col("kind") == "request").select(*_REQ_COLS)
             )
             apply_df = out.where(F.col("kind") == "apply").select(
                 "pc", "cur_url", "cur_full", "bindings", "path_key", "body"
             )
-        return requests_acc, n_results
+        return requests_acc, n_results, persisted
 
     # ------------------------------------------------------- checkpointing
 

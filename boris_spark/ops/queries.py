@@ -831,3 +831,55 @@ def events_sessionize(spark, sf_dir):
         )
         .select("user_id", "event_id", "session_id")
     )
+
+
+# =====================================================================
+# Multimodal columns: opaque binary blobs + typed metadata, Arrow-batched
+# stub decode/resize/frame-sample (see ops/multimodal.py — the decode is a
+# clearly-marked deterministic fake; the plumbing is the real structure).
+# =====================================================================
+
+
+@q(
+    "media_metadata",
+    """
+    SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END AS kind,
+           CAST((doc_id % 16) * 32 + 64 AS INTEGER) AS width,
+           CAST((doc_id % 9) * 32 + 64 AS INTEGER) AS height,
+           CAST(octet_length(from_hex(repeat(md5(text), 64))) AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+)
+def media_metadata(spark, sf_dir):
+    """Typed metadata of the multimodal table + blob byte length — all
+    JVM-side; validates the binary-column construction against SQL."""
+    from .multimodal import make_media_df
+
+    m = make_media_df(spark, sf_dir)
+    return m.select(
+        "media_id", "kind", "width", "height",
+        F.length("blob").cast("long").alias("n_bytes"),
+    )
+
+
+@q("media_features")  # rows-only: numpy entropy over the fake-decoded array
+def media_features(spark, sf_dir):
+    """Decode + feature-extract per blob in mapInPandas batches (mean byte
+    value, byte entropy) — the decode is a deterministic stub; the Arrow
+    batch shape and partitioning are the real pipeline's."""
+    from .multimodal import MEDIA_FEATURES_SCHEMA, make_media_df, media_features_fn
+
+    return make_media_df(spark, sf_dir).mapInPandas(
+        media_features_fn, MEDIA_FEATURES_SCHEMA
+    )
+
+
+@q("media_frame_sample")  # rows-only: per-frame fan-out inside the UDF
+def media_frame_sample(spark, sf_dir):
+    """Frame sampling of 'video' blobs: one output row per sampled frame."""
+    from .multimodal import FRAME_SCHEMA, frame_sample_fn, make_media_df
+
+    m = make_media_df(spark, sf_dir).where(F.col("kind") == "video")
+    return m.mapInPandas(frame_sample_fn(every=4), FRAME_SCHEMA)
