@@ -48,8 +48,8 @@ BENCH_QUERIES = [
 def build_corpus(spark, n_pages: int, seed: int, path: str, weight: int):
     """Generate the synthetic corpus in parallel (mapInPandas over id ranges)
     and cache it as parquet — deterministic in (n_pages, seed)."""
-    if os.path.isdir(path):
-        return
+    if os.path.isfile(os.path.join(path, "_SUCCESS")):
+        return  # complete cached corpus (partial dirs from killed runs regen)
     from boris_spark.synth import webgen
 
     def gen(batches):
