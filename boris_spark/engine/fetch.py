@@ -50,8 +50,17 @@ def fetch_one(
     payload: str | None = None,
     referer: str | None = None,
     timeout: float = 10.0,
+    jar: list | None = None,
 ) -> tuple[int, str]:
-    """Fetch one URL, following redirects manually (http.rkt:111-122)."""
+    """Fetch one URL, following redirects manually (http.rkt:111-122).
+
+    *jar* (mutable cookie list) mirrors the per-branch cookie state of
+    request->browser (http.rkt:111-122 + head.rkt:87-92): Set-Cookie headers
+    fold into the jar at every hop; matching cookies are sent on the next.
+    """
+    from ..kernel.cookies import cookies_ref, cookies_to_header
+    from ..kernel.headers import headers_set_cookies, headers_to_alist
+
     url = url_full
     data = None
     headers = {}
@@ -61,12 +70,27 @@ def fetch_one(
         fields = json.loads(payload)
         data = urllib.parse.urlencode(dict(fields)).encode()
         headers["Content-Type"] = "application/x-www-form-urlencoded"
+
+    def _fold_cookies(resp_headers) -> None:
+        if jar is None:
+            return
+        alist = headers_to_alist(
+            [f"{k}: {v}".encode() for k, v in resp_headers.items()]
+        )
+        jar[:] = headers_set_cookies(alist, url, jar)
+
     for _ in range(MAX_REDIRECTS + 1):
+        if jar:
+            matched = cookies_ref(jar, url)
+            if matched:
+                headers["Cookie"] = cookies_to_header(matched)
         req = urllib.request.Request(url, data=data, headers=headers, method=method)
         try:
             with _OPENER.open(req, timeout=timeout) as resp:
+                _fold_cookies(resp.headers)
                 return (resp.status, resp.read().decode("utf-8", "replace"))
         except urllib.error.HTTPError as e:
+            _fold_cookies(e.headers)
             loc = e.headers.get("Location")
             if loc and e.code in (301, 302, 303, 307, 308):
                 # redirect: GET the target with Referer (http.rkt:97-101)

@@ -87,3 +87,44 @@ def test_engine_http_mode_parity(spark, server, tmp_path):
     assert seen == oracle.seen
     # canonical keys dropped the port (the reference's url->string/raw quirk)
     assert all("127.0.0.1/" in u or u.endswith("127.0.0.1") for u in seen)
+
+
+def test_cookie_roundtrip_over_redirect(server_cookies):
+    """Set-Cookie on the redirecting hop is sent back on the redirect target
+    — the reference asserts the same round-trip against its echo server
+    (hypertext-browser/http.rkt:145-166)."""
+    jar = []
+    status, body = fetch_one(server_cookies + "/setc", jar=jar)
+    assert status == 200
+    assert body == "cookie seen: tok=abc123"
+    assert ("tok", "abc123", "127.0.0.1", "/") in jar
+
+
+import pytest as _pytest  # noqa: E402
+
+
+@_pytest.fixture(scope="module")
+def server_cookies():
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    import threading
+
+    class CookieHandler(BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802
+            if self.path == "/setc":
+                self.send_response(302)
+                self.send_header("Set-Cookie", "tok=abc123; Path=/")
+                self.send_header("Location", "/echo")
+                self.end_headers()
+                return
+            got = self.headers.get("Cookie", "")
+            self.send_response(200)
+            self.end_headers()
+            self.wfile.write(f"cookie seen: {got}".encode())
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), CookieHandler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    yield f"http://127.0.0.1:{srv.server_port}"
+    srv.shutdown()
