@@ -69,18 +69,21 @@ def build_corpus(spark, n_pages: int, seed: int, path: str, weight: int):
 
 
 def crawl_bench(spark, n_pages: int, workdir: str) -> dict:
+    """Headline crawl: fused fetch+extract (callable mode) over the
+    deterministic closed-form synthetic web — the sandbox stand-in for a
+    live HTTP fetcher (pages are a pure function of the url; no corpus
+    parquet, exactly as a real crawl has no pages table). Page bodies are
+    materialized inside the Python workers and never cross the JVM
+    boundary; only extracted features, discovered links, and statuses
+    return. Set BORIS_FETCH_MODE=snapshot to instead benchmark the
+    pages-table-driven snapshot mode (bodies joined from parquet)."""
     from boris_spark.engine.crawler import CrawlEngine
     from boris_spark.oracle.program import Extract, Go, Lit, PageProfileE, XpathE
     from boris_spark.synth import webgen
 
     seed = 42
     weight = int(os.environ.get("BORIS_PAGE_WEIGHT", "8"))
-    corpus_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), ".bench_data",
-        f"pages_{n_pages}_{seed}_w{weight}",
-    )
-    build_corpus(spark, n_pages, seed, corpus_path, weight)
-    pages = spark.read.parquet(corpus_path)
+    mode = os.environ.get("BORIS_FETCH_MODE", "callable")
 
     seeds = [webgen.page_url(i, n_pages, seed) for i in range(0, n_pages, 16)]
     links_q = XpathE("//td[@class='title']/a/@href/text()")
@@ -90,17 +93,34 @@ def crawl_bench(spark, n_pages: int, workdir: str) -> dict:
         Lit(seeds), feat,
         Go(links_q, feat, Go(links_q, feat)),
     )
-    eng = CrawlEngine(
-        spark, pages, workdir,
+    kw = dict(
         politeness_k=int(os.environ.get("BORIS_POLITENESS_K", "20000")),
         n_buckets=64, use_bloom=True,
     )
+    if mode == "callable":
+        eng = CrawlEngine(
+            spark, None, workdir, fetch_mode="callable",
+            fetch_fn=webgen.make_fetcher(n_pages, seed, weight), **kw,
+        )
+    else:
+        corpus_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), ".bench_data",
+            f"pages_{n_pages}_{seed}_w{weight}",
+        )
+        build_corpus(spark, n_pages, seed, corpus_path, weight)
+        eng = CrawlEngine(spark, spark.read.parquet(corpus_path), workdir, **kw)
     t0 = time.time()
     summary = eng.run(program, max_rounds=32)
     wall = time.time() - t0
+    sample = range(0, n_pages, max(1, n_pages // 200))
+    mean_kb = sum(
+        len(webgen.page_html(p, n_pages, seed, weight)) for p in sample
+    ) / len(sample) / 1024
     return {
         "pages": n_pages,
         "page_weight": weight,
+        "fetch_mode": mode,
+        "mean_page_kb": round(mean_kb, 1),
         "fetched": summary.fetched,
         "extractions": summary.results,
         "rounds": summary.rounds,

@@ -24,7 +24,7 @@ interpreter, /root/reference/boris/interpreter.rkt:54-59 — see SURVEY.md §3):
    (broadcast join against the tiny node table), then non-fetch nodes
    (extract/bind/jump) evaluate in Arrow batches until only new fetch
    requests remain;
-7. sinks + checkpoint: results/discoveries/seen deltas append as parquet
+7. sinks + checkpoint: results/seen deltas append as parquet
    "snapshots" with a per-round JSON manifest carrying per-partition lineage
    and fetch/extract metrics — the crawl is resumable from any round
    (the reference's fs-dict persistence, /root/reference/persistent/main.rkt:37-67).
@@ -48,7 +48,7 @@ from pyspark.sql import functions as F
 from ..oracle import program as P
 from .bloom import BloomShardStore
 from .compiler import NodeSpec, compile_program
-from .udfs import CASCADE_SCHEMA, make_cascade_fn
+from .udfs import CASCADE_SCHEMA, make_cascade_fn, make_fused_fn
 
 REQUEST_SCHEMA = (
     "pc long, url_canon string, url_full string, url_hash long, host string, "
@@ -83,9 +83,9 @@ class CrawlEngine:
         use_bloom: bool = True,
         bloom_bits: int = 1 << 17,
         robots_rules: DataFrame | None = None,
-        fetch_mode: str = "snapshot",  # "snapshot" | "http"
+        fetch_mode: str = "snapshot",  # "snapshot" | "http" | "callable"
         http_timeout: float = 10.0,
-        record_discoveries: bool = True,
+        fetch_fn=None,  # callable mode: list[url] -> list[(body, status)]
     ):
         self.spark = spark
         self.workdir = workdir
@@ -97,22 +97,31 @@ class CrawlEngine:
         self.robots = robots_rules
         self.fetch_mode = fetch_mode
         self.http_timeout = http_timeout
-        self.record_discoveries = record_discoveries
         os.makedirs(workdir, exist_ok=True)
         self.pages = None
         if pages_df is not None:
             # snapshot "fetcher": pages keyed by canonical url
             html_col = pages_df.schema["html"].dataType.simpleString()
             body = F.col("html").cast("string") if html_col == "binary" else F.col("html")
+            # pre-partitioned by the fetch-join key: the per-round join
+            # against dequeued URLs re-shuffles only the (small) probe side,
+            # never the page bodies — the cached partitioning satisfies the
+            # join's distribution requirement every round
             self.pages = (
                 pages_df.select(
                     F.col("url").alias("url_canon"),
                     body.alias("body"),
                 )
+                .repartition(
+                    spark.sparkContext.defaultParallelism, "url_canon"
+                )
                 .persist()
             )
-        elif fetch_mode != "http":
+        elif fetch_mode == "snapshot":
             raise ValueError("snapshot mode requires a pages_df")
+        self.fetch_fn = fetch_fn
+        if fetch_mode == "callable" and fetch_fn is None:
+            raise ValueError("callable mode requires a fetch_fn")
 
     # ------------------------------------------------------------ helpers
 
@@ -159,14 +168,9 @@ class CrawlEngine:
             spec.kind == "download" for spec in self.node_table.values()
         )
         self._cascade_fn = make_cascade_fn(self.node_table)
-        child_rows = [
-            (pc, j, c)
-            for pc, spec in self.node_table.items()
-            for j, c in enumerate(spec.child_ids)
-        ]
-        self.child_map = self.spark.createDataFrame(
-            child_rows or [(-1, -1, -1)], "pc long, j int, child_pc long"
-        )
+        self._fanout_fn = make_cascade_fn(self.node_table, fanout=True)
+        if self.fetch_mode == "callable":
+            self._fused_fn = make_fused_fn(self.node_table, self.fetch_fn)
 
         start_round = 0
         if resume:
@@ -188,17 +192,17 @@ class CrawlEngine:
             self._checkpoint_frontier(requests, 0)
             for df in persisted:
                 df.unpersist()
-        requests = self.spark.read.parquet(self._path("frontier", f"round={start_round}"))
-
         rnd = start_round
         total_fetched = 0
         total_results = 0
         while rnd < max_rounds:
-            n_req = requests.count()
+            # frontier row count from parquet footers — no Spark job
+            n_req = self._pq_rows(self._path("frontier", f"round={rnd}"))
             if n_req == 0:
                 break
+            requests = self.spark.read.parquet(self._path("frontier", f"round={rnd}"))
             rt0 = time.time()
-            requests, fetched, n_results, metrics = self._round(requests, rnd)
+            _, fetched, n_results, metrics = self._round(requests, rnd)
             total_fetched += fetched
             total_results += n_results
             metrics.update(
@@ -223,15 +227,12 @@ class CrawlEngine:
         _marks = [("start", _t.time())]
         _mark = lambda label: _marks.append((label, _t.time()))  # noqa: E731
         self._round_persists: list[DataFrame] = []
-        requests = requests.persist()
-
-        # discoveries sink: every (url, path) reach — min path per url is the
-        # reference's first-visit order (DFS pre-order = lex path order)
-        if self.record_discoveries:
-            self._append(
-                requests.select("url_canon", "url_hash", "path_key"), "discoveries", rnd
-            )
-        _mark("discoveries")
+        # ONE url_canon shuffle for the whole round: the persisted frame's
+        # hash partitioning is reused (exchange-free) by the groupBy below and
+        # by every url_canon equi-join downstream — the round previously
+        # re-shuffled the request table 3× across its actions.
+        n_part = self.spark.sparkContext.defaultParallelism
+        requests = requests.repartition(n_part, "url_canon").persist()
 
         # one fetch candidate per distinct url, priority = lex-min path_key
         urls = requests.groupBy("url_canon").agg(
@@ -243,6 +244,7 @@ class CrawlEngine:
             F.first("payload").alias("payload"),
         ).persist()
 
+        _mark("requests_shuffle")
         unseen = self._filter_unseen(urls).persist()
         # urls already in the seen set: their requests proceed without a fetch
         # (cache hits — browser-services.rkt:36-40); computed from in-flight
@@ -277,6 +279,12 @@ class CrawlEngine:
             )
         else:
             selected = unseen
+
+        if self.fetch_mode == "callable":
+            return self._round_fused(
+                requests, urls, unseen, seen_hits, blocked, selected,
+                rnd, _mark, _marks,
+            )
 
         fetched = self._fetch(selected, rnd).persist()
 
@@ -313,55 +321,65 @@ class CrawlEngine:
         ]
 
         # requests whose url is now fetched/blocked/previously-seen proceed;
-        # the rest (over politeness budget) defer to the next round
-        delta_urls = self.spark.createDataFrame(
-            delta_pdf[["url_canon"]], "url_canon string"
+        # the rest (over politeness budget) defer to the next round. Routing
+        # is decided on SLIM key frames (no bodies): every persisted frame in
+        # the round carries keys and metadata only, and page bodies flow
+        # exactly once per round along cache -> join -> Arrow -> Python,
+        # never through a persist or an extra shuffle (the property that
+        # matters at 100 TB: body bytes move once).
+        decided = (
+            fetched.select("url_canon")
+            .unionByName(seen_hits.select("url_canon"))
         )
-        ok_urls = seen_hits.select("url_canon").unionByName(delta_urls)
-        ok = requests.join(ok_urls, "url_canon", "left_semi")
-        deferred = requests.join(ok_urls, "url_canon", "left_anti")
+        if blocked is not None:
+            decided = decided.unionByName(blocked.select("url_canon"))
+        routed = requests.join(
+            decided.withColumn("_ok", F.lit(True)), "url_canon", "left"
+        ).persist()
+        self._round_persists.append(routed)
+        ok = routed.where(F.col("_ok"))
+        deferred = routed.where(F.col("_ok").isNull())
 
-        # attach bodies ONCE per round: freshly fetched bodies + (for
-        # cache-hit traversals) the store/pages bodies of previously-seen
-        # urls — the cascade then carries the body forward through its
-        # generations, so the big pages table is never re-shuffled per
-        # generation (the property that matters at 100 TB)
-        cached_bodies = self._body_source().join(
-            seen_hits.select("url_canon"), "url_canon", "left_semi"
-        )
+        # attach bodies to the proceeding requests only, straight into the
+        # cascade's Arrow batches; missing page (404) => empty body
+        with_body = ok.join(self._body_source(), "url_canon", "left")
         if self.robots is not None:
             # robots-blocked pages traverse with an empty body even when the
-            # snapshot table has content for them
+            # snapshot table has content for them (any round's block: the
+            # seen sink already holds this round's delta)
             blocked_all = self._read_sink("seen").where(F.col("status") == 999)
-            cached_bodies = cached_bodies.join(
-                blocked_all.select("url_canon"), "url_canon", "left_anti"
+            with_body = (
+                with_body.join(
+                    blocked_all.select("url_canon", F.lit(True).alias("_blk")),
+                    "url_canon", "left",
+                )
+                .withColumn(
+                    "body", F.when(F.col("_blk"), F.lit("")).otherwise(F.col("body"))
+                )
+                .drop("_blk")
             )
-        bodies = fetched.select("url_canon", "body").unionByName(cached_bodies)
 
-        # fan to children of the navigate node: broadcast join on tiny node map
-        apply0 = (
-            ok.join(F.broadcast(self.child_map), "pc")
-            .join(bodies, "url_canon", "left")
-            .select(
-                F.col("child_pc").alias("pc"),
-                F.col("url_canon").alias("cur_url"),
-                F.col("url_full").alias("cur_full"),
-                "bindings",
-                F.concat("path_key", F.format_string("%08x", F.col("j"))).alias("path_key"),
-                "body",
-            )
+        # fan to children of the navigate node: done INSIDE the first
+        # cascade generation's Arrow batch (node_table is driver-static) —
+        # no join, and each page body crosses into Python exactly once
+        apply0 = with_body.select(
+            "pc",
+            F.col("url_canon").alias("cur_url"),
+            F.col("url_full").alias("cur_full"),
+            "bindings",
+            "path_key",
+            F.coalesce("body", F.lit("")).alias("body"),
         )
 
         # results-sink keys: (rnd+1)*1000+gen — the pre-round init cascade
         # owns the 0..999 key space
         _mark("pre_cascade")
-        new_requests, n_results, persisted = self._cascade(apply0, rnd + 1)
+        new_requests, n_results, persisted = self._cascade(apply0, rnd + 1, fanout=True)
         _mark("cascade")
         frontier_next = new_requests.unionByName(
             deferred.select(*_REQ_COLS)
         )
         self._checkpoint_frontier(frontier_next, rnd + 1)
-        frontier_next = self.spark.read.parquet(self._path("frontier", f"round={rnd + 1}"))
         _mark("frontier_ckpt")
 
         requests.unpersist()
@@ -383,6 +401,126 @@ class CrawlEngine:
         }
         return frontier_next, n_fetched, n_results, metrics
 
+    def _round_fused(
+        self, requests, urls, unseen, seen_hits, blocked, selected,
+        rnd, _mark, _marks,
+    ):
+        """Callable-mode round middle: fetch+extract fused into ONE
+        mapInPandas stage; every JVM-side frame in the round is slim (keys
+        and metadata only) — page bodies exist only inside the Python
+        workers and only extracted values, discovered links, and per-url
+        statuses come back."""
+        decided = selected.select(
+            "url_canon", F.lit(True).alias("_fresh"), F.lit(False).alias("_blk")
+        ).unionByName(
+            seen_hits.select(
+                "url_canon", F.lit(False).alias("_fresh"), F.lit(False).alias("_blk")
+            )
+        )
+        if blocked is not None:
+            decided = decided.unionByName(
+                blocked.select(
+                    "url_canon", F.lit(False).alias("_fresh"),
+                    F.lit(True).alias("_blk"),
+                )
+            )
+        routed = requests.join(decided, "url_canon", "left").persist()
+        self._round_persists.append(routed)
+        ok = routed.where(F.col("_fresh").isNotNull())
+        deferred = routed.where(F.col("_fresh").isNull())
+        if self.robots is not None:
+            # previously-blocked seen hits replay with an empty body
+            seen_prev = self._read_sink("seen")
+            if seen_prev is not None:
+                blocked_prev = seen_prev.where(F.col("status") == 999)
+                ok = (
+                    ok.join(
+                        blocked_prev.select(
+                            "url_canon", F.lit(True).alias("_pblk")
+                        ),
+                        "url_canon", "left",
+                    )
+                    .withColumn(
+                        "_blk",
+                        F.col("_blk") | F.coalesce(F.col("_pblk"), F.lit(False)),
+                    )
+                    .drop("_pblk")
+                )
+        _mark("route")
+
+        out1 = ok.select(*_REQ_COLS, "_fresh", "_blk").mapInPandas(
+            self._fused_fn, CASCADE_SCHEMA
+        )
+        new_requests, n_results, persisted = self._cascade(
+            None, rnd + 1, first_out=out1
+        )
+        _mark("fused_cascade")
+
+        # the round's seen delta, aggregated from the fused stage's per-batch
+        # 'fetched' emissions (exchange-free: same url_canon partitioning)
+        seen_delta = (
+            persisted[0]
+            .where(F.col("kind") == "fetched")
+            .groupBy("url_canon")
+            .agg(
+                F.first("url_hash").alias("url_hash"),
+                F.first("host").alias("host"),
+                F.min("path_key").alias("path_first"),
+                F.min(F.col("value").cast("int")).alias("status"),
+            )
+            .withColumn(
+                "bucket", F.pmod(F.col("url_hash"), F.lit(self.n_buckets)).cast("int")
+            )
+            .select(
+                "url_hash", "url_canon", "host", "bucket", "status", "path_first"
+            )
+        )
+        if blocked is not None:
+            seen_delta = seen_delta.unionByName(
+                blocked.select(
+                    "url_hash", "url_canon", "host", "bucket", "status",
+                    F.col("pk").alias("path_first"),
+                )
+            )
+        self._append(seen_delta, "seen", rnd)
+        _mark("seen_write")
+
+        delta_pdf = self._pq_read(
+            self._path("seen", f"round={rnd}"),
+            columns=["bucket", "url_hash", "host", "status", "url_canon"],
+        )
+        if self.bloom is not None:
+            self.bloom.add_delta(delta_pdf[["bucket", "url_hash"]])
+        n_fetched = int((delta_pdf["status"] != 999).sum())
+        lineage = [
+            {"bucket": int(b), "fetched": int(g["status"].ne(999).sum()),
+             "hosts": int(g["host"].nunique())}
+            for b, g in delta_pdf.groupby("bucket")
+        ]
+        _mark("delta_readback")
+
+        frontier_next = new_requests.unionByName(deferred.select(*_REQ_COLS))
+        self._checkpoint_frontier(frontier_next, rnd + 1)
+        _mark("frontier_ckpt")
+
+        requests.unpersist()
+        urls.unpersist()
+        unseen.unpersist()
+        for df in persisted:
+            df.unpersist()
+        for df in self._round_persists:
+            df.unpersist()
+        metrics = {
+            "fetched": n_fetched,
+            "results": n_results,
+            "partitions": lineage,
+            "phases": {
+                b: round(tb - ta, 2)
+                for (a, ta), (b, tb) in zip(_marks, _marks[1:])
+            },
+        }
+        return None, n_fetched, n_results, metrics
+
     def _fetch(self, selected: DataFrame, rnd: int) -> DataFrame:
         """Fetch the dequeued URLs. Snapshot mode joins the pages table
         (missing page → 404, empty body). HTTP mode fetches in mapInPandas
@@ -390,9 +528,16 @@ class CrawlEngine:
         /root/reference/hypertext-browser/http.rkt:124-136) and persists
         bodies to the store sink for the cascade's body joins."""
         if self.fetch_mode == "snapshot":
+            # status probe against page KEYS only — bodies stay out of the
+            # persisted fetch frame and are joined in later, directly into
+            # the cascade's Arrow batches
+            page_keys = self.pages.select(
+                "url_canon", F.lit(True).alias("_hit")
+            )
             return (
-                selected.join(self.pages, "url_canon", "left")
-                .withColumn("status", F.when(F.col("body").isNull(), 404).otherwise(200))
+                selected.join(page_keys, "url_canon", "left")
+                .withColumn("status", F.when(F.col("_hit").isNull(), 404).otherwise(200))
+                .drop("_hit")
                 .withColumn(
                     "bucket", F.pmod(F.col("url_hash"), F.lit(self.n_buckets)).cast("int")
                 )
@@ -414,7 +559,11 @@ class CrawlEngine:
         self._append(
             fetched.select("url_canon", "body", "status"), "store", rnd
         )
-        return self.spark.read.parquet(self._path("store", f"round={rnd}")).join(
+        # slim return: bodies live in the store sink (= the body source for
+        # the cascade's attach join); only keys + status flow onward
+        return self.spark.read.parquet(self._path("store", f"round={rnd}")).select(
+            "url_canon", "status"
+        ).join(
             selected, "url_canon"
         ).withColumn(
             "bucket", F.pmod(F.col("url_hash"), F.lit(self.n_buckets)).cast("int")
@@ -450,7 +599,13 @@ class CrawlEngine:
             return definitely_new.unionByName(checked)
         return urls.join(seen_keys, ["url_hash", "url_canon"], "left_anti")
 
-    def _cascade(self, apply_df: DataFrame, rnd: int):
+    def _cascade(
+        self,
+        apply_df: DataFrame | None,
+        rnd: int,
+        fanout: bool = False,
+        first_out: DataFrame | None = None,
+    ):
         """Evaluate non-fetch nodes to fixpoint; returns
         (requests, n_results, persisted handles to release after the
         frontier checkpoint materializes the requests)."""
@@ -460,9 +615,6 @@ class CrawlEngine:
         gen = 0
         persisted: list[DataFrame] = []
         while True:
-            _g0 = _t.time()
-            if apply_df.isEmpty():
-                break
             _g1 = _t.time()
             gen += 1
             if gen > 200:
@@ -471,13 +623,22 @@ class CrawlEngine:
             # by the cascade itself — no per-generation join. Partitioning
             # comes from the fan-out join's shuffle (AQE coalescing is off in
             # the engine session so the CPU-heavy python stage keeps full
-            # parallelism without an extra body shuffle here).
-            with_body = apply_df.select(
-                "pc", "cur_url", "cur_full",
-                F.coalesce("body", F.lit("")).alias("body"),
-                "bindings", "path_key",
-            )
-            out = with_body.mapInPandas(self._cascade_fn, CASCADE_SCHEMA).persist()
+            # parallelism without an extra body shuffle here). Eval-first:
+            # emptiness is only ever checked on the persisted output, never
+            # on the unpersisted input chain (which would compute the whole
+            # fan-out join once for the check and again for the eval).
+            if first_out is not None and gen == 1:
+                # pre-evaluated first generation (the fused fetch+extract
+                # stage of callable mode) — sink handling is uniform
+                out = first_out.persist()
+            else:
+                with_body = apply_df.select(
+                    "pc", "cur_url", "cur_full",
+                    F.coalesce("body", F.lit("")).alias("body"),
+                    "bindings", "path_key",
+                )
+                fn = self._fanout_fn if (fanout and gen == 1) else self._cascade_fn
+                out = with_body.mapInPandas(fn, CASCADE_SCHEMA).persist()
             persisted.append(out)
             results = out.where(F.col("kind") == "result").select(
                 "path_key", "value", "vkind"
@@ -492,13 +653,17 @@ class CrawlEngine:
             _g3 = _t.time()
             n_results += self._pq_rows(self._path("results", f"round={rnd * 1000 + gen}"))
             if os.environ.get("BORIS_TIMING"):
-                print(f"  cascade gen{gen}: isEmpty={_g1-_g0:.2f} eval+write={_g2-_g1:.2f} dl={_g3-_g2:.2f} cnt={_t.time()-_g3:.2f}")
+                print(f"  cascade gen{gen}: eval+write={_g2-_g1:.2f} dl={_g3-_g2:.2f} cnt={_t.time()-_g3:.2f}")
             requests_acc = requests_acc.unionByName(
                 out.where(F.col("kind") == "request").select(*_REQ_COLS)
             )
             apply_df = out.where(F.col("kind") == "apply").select(
                 "pc", "cur_url", "cur_full", "bindings", "path_key", "body"
             )
+            # out is fully materialized by the results write above, so this
+            # emptiness probe is a cheap scan of the cached partitions
+            if apply_df.isEmpty():
+                break
         return requests_acc, n_results, persisted
 
     # ------------------------------------------------------- checkpointing
@@ -556,8 +721,12 @@ class CrawlEngine:
         )
 
     def visit_order_df(self) -> DataFrame:
-        """URLs in reference first-visit order: lex-min discovery path."""
-        disc = self._read_sink("discoveries")
+        """URLs in reference first-visit order: lex-min discovery path.
+
+        The frontier checkpoints ARE the discovery record (every reached
+        (url, path) pair passes through a frontier round), so no separate
+        discoveries sink is written."""
+        disc = self._read_sink("frontier")
         assert disc is not None
         return (
             disc.groupBy("url_canon")

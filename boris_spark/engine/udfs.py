@@ -149,8 +149,103 @@ def _eval_node(
         raise ValueError(f"unknown node kind {kind}")
 
 
-def make_cascade_fn(node_table: dict[int, NodeSpec]):
-    """mapInPandas fn over rows (pc, cur_url, body, bindings, path_key)."""
+
+_INT_COLS = ("pc", "url_hash")
+
+
+def _frame(out: list[dict]) -> pd.DataFrame:
+    """Build the output batch WITHOUT float64 inference: a mixed
+    int/None column (e.g. url_hash on request rows vs result rows) would
+    otherwise be inferred as float64, silently truncating 64-bit hashes to
+    the 53-bit double mantissa — which breaks the (url_hash, url_canon)
+    seen anti-join and refetches already-seen URLs."""
+    if not out:
+        return pd.DataFrame({c: [] for c in _COLS})
+    return pd.DataFrame({
+        c: (
+            pd.array([r[c] for r in out], dtype="Int64")
+            if c in _INT_COLS
+            else [r[c] for r in out]
+        )
+        for c in _COLS
+    })
+
+
+def make_fused_fn(node_table: dict[int, NodeSpec], fetch_fn):
+    """Fused fetch+extract: ONE mapInPandas stage per crawl round.
+
+    Input rows are routed request rows (REQUEST cols + ``_fresh`` +
+    ``_blk``); ``fetch_fn(urls: list[str]) -> list[(body, status)]`` is the
+    pluggable fetcher (the reference's swappable request service,
+    /root/reference/boris/interpreter/services.rkt:14-15) — a deterministic
+    closed-form page function in the bench, a live HTTP batch fetcher at
+    deploy. Page bodies are materialized INSIDE the Python worker, evaluated
+    (fan-out to the navigate node's children), and only extracted values +
+    discovered links + per-url fetch statuses return to the JVM — body bytes
+    never cross the Arrow boundary, never shuffle, never hit the block cache
+    (the invariant that matters at 100 TB).
+
+    Emits one ``kind='fetched'`` row per distinct fresh url per batch
+    (status in ``value``, min batch path in ``path_key``); the JVM
+    aggregates batches into the round's seen delta. Cache-hit traversals
+    (``_fresh`` false) re-materialize the body without emitting a fetch —
+    the memoized replay of browser-services.rkt:36-40."""
+
+    def fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[dict] = []
+            blks = [bool(b) and b == b for b in pdf["_blk"]]
+            need = sorted(
+                {u for u, b in zip(pdf["url_canon"], blks) if not b}
+            )
+            fetched = dict(zip(need, fetch_fn(need))) if need else {}
+            emitted: dict[str, int] = {}
+            for pc, url, url_full, url_hash, host, bindings_json, path, fresh, blk in zip(
+                pdf["pc"], pdf["url_canon"], pdf["url_full"], pdf["url_hash"],
+                pdf["host"], pdf["bindings"], pdf["path_key"], pdf["_fresh"], blks,
+            ):
+                if blk:
+                    body, status = "", 999
+                else:
+                    body, status = fetched.get(url, ("", 404))
+                    if body is None:
+                        body = ""
+                path = path or ""
+                if bool(fresh) and fresh == fresh and not blk:
+                    i = emitted.get(url)
+                    if i is None:
+                        emitted[url] = len(out)
+                        out.append(_out_row(
+                            "fetched", url_canon=url, url_hash=url_hash,
+                            host=host, path_key=path, value=str(status),
+                        ))
+                    elif path < out[i]["path_key"]:
+                        out[i]["path_key"] = path
+                bindings_json = (
+                    bindings_json if isinstance(bindings_json, str) else None
+                )
+                for j, child in enumerate(node_table[int(pc)].child_ids):
+                    _eval_node(
+                        node_table[child], node_table, child,
+                        url, url_full if isinstance(url_full, str) else None,
+                        body, bindings_json, path + _hx(j), out,
+                    )
+            yield _frame(out)
+
+    return fused
+
+
+def make_cascade_fn(node_table: dict[int, NodeSpec], fanout: bool = False):
+    """mapInPandas fn over rows (pc, cur_url, body, bindings, path_key).
+
+    With ``fanout=False`` each row's own node ``pc`` is evaluated. With
+    ``fanout=True`` the rows are *completed fetches* whose ``pc`` is the
+    navigate node that requested them: the row fans to each child of ``pc``
+    (path extended with the child index) and evaluates the child in place —
+    the interpreter's next-state × child-subweb recursion
+    (/root/reference/boris/interpreter.rkt:57-58) done inside the Arrow
+    batch, so the page body crosses the JVM↔Python boundary exactly once
+    per fetched page instead of once per (page, child) join row."""
 
     def cascade(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -160,16 +255,25 @@ def make_cascade_fn(node_table: dict[int, NodeSpec]):
                 pdf["bindings"], pdf["path_key"]
             ):
                 pc = int(pc)
-                _eval_node(
-                    node_table[pc], node_table, pc,
-                    cur_url if isinstance(cur_url, str) else None,
-                    cur_full if isinstance(cur_full, str) else None,
-                    body if isinstance(body, str) else "",
-                    bindings_json if isinstance(bindings_json, str) else None,
-                    path or "", out,
+                cur_url = cur_url if isinstance(cur_url, str) else None
+                cur_full = cur_full if isinstance(cur_full, str) else None
+                body = body if isinstance(body, str) else ""
+                bindings_json = (
+                    bindings_json if isinstance(bindings_json, str) else None
                 )
-            yield pd.DataFrame(out, columns=_COLS) if out else pd.DataFrame(
-                {c: [] for c in _COLS}
-            )
+                path = path or ""
+                if fanout:
+                    for j, child in enumerate(node_table[pc].child_ids):
+                        _eval_node(
+                            node_table[child], node_table, child,
+                            cur_url, cur_full, body, bindings_json,
+                            path + _hx(j), out,
+                        )
+                else:
+                    _eval_node(
+                        node_table[pc], node_table, pc,
+                        cur_url, cur_full, body, bindings_json, path, out,
+                    )
+            yield _frame(out)
 
     return cascade

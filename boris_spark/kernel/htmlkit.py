@@ -418,11 +418,31 @@ _TRIM_CHARS = " \t\n\r\f\v"
 
 def xpath_text(html: str | list[str], query: str) -> list[str]:
     """xpath.rkt:47-49 — per match: join(direct text children) then trim;
-    empty nodes preserved as ''."""
-    return [
-        "".join(xpath(match, "/*/text()")).strip(_TRIM_CHARS)
-        for match in xpath(html, query)
-    ]
+    empty nodes preserved as ''.
+
+    Fast path: the reference serializes each match back to HTML and
+    re-parses it to apply ``/*/text()`` (xpath.rkt:43, 47-49); for Element
+    matches that round trip is the identity, so the direct text children
+    are read straight off the matched node (one parse per page instead of
+    one per match). Non-Element matches keep the literal
+    serialize-and-reparse semantics."""
+    if isinstance(html, list):
+        out: list[str] = []
+        for sub in html:
+            out.extend(xpath_text(sub, query))
+        return out
+    out = []
+    for n in xpath_nodes(html, query):
+        if isinstance(n, Element):
+            out.append(
+                "".join(
+                    t.data for t in n.children if isinstance(t, Text)
+                ).strip(_TRIM_CHARS)
+            )
+        else:
+            match = n.data if isinstance(n, Text) else serialize(n)
+            out.append("".join(xpath(match, "/*/text()")).strip(_TRIM_CHARS))
+    return out
 
 
 def xpath_first(html: str | list[str], query: str, default=None):

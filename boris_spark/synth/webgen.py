@@ -186,3 +186,41 @@ def doc_html(doc_id: int, n_docs: int, text: str) -> str:
         f"<html><head><title>doc {doc_id}</title></head><body>"
         f"<p>{text}</p>{anchors}</body></html>"
     )
+
+
+# ------------------------------------------------ closed-form batch fetcher
+
+import re as _re
+
+
+def page_of_url(url: str, n_pages: int, seed: int) -> int | None:
+    """Inverse of :func:`page_url` (None if the url is not a corpus page)."""
+    m = _re.match(rf"http://h(\d+)\.site{seed}\.test/p/(\d+)$", url)
+    if not m:
+        return None
+    h, local = int(m.group(1)), int(m.group(2))
+    bounds = _host_bounds(n_pages)
+    if h >= len(bounds):
+        return None
+    lo = bounds[h]
+    hi = bounds[h + 1] if h + 1 < len(bounds) else n_pages
+    p = lo + local
+    return p if p < hi else None
+
+
+def make_fetcher(n_pages: int, seed: int = 42, weight: int | None = None):
+    """Batch fetch_fn for the engine's callable mode: the deterministic
+    stand-in for a live HTTP fetcher (pages are a pure function of the url,
+    so the 'network' is closed-form — same corpus as :func:`corpus`)."""
+
+    def fetch(urls: list[str]) -> list[tuple[str | None, int]]:
+        out: list[tuple[str | None, int]] = []
+        for u in urls:
+            p = page_of_url(u, n_pages, seed)
+            if p is None:
+                out.append((None, 404))
+            else:
+                out.append((page_html(p, n_pages, seed, weight), 200))
+        return out
+
+    return fetch

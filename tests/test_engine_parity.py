@@ -199,3 +199,26 @@ def test_click_submit_download_parity(spark, tmp_path):
     dls = eng._read_sink("downloads")
     assert dls is not None and dls.count() == 1
     assert oracle.downloads and oracle.downloads[0][1] == "http://s.test/"
+
+
+def test_fused_callable_mode_parity(spark, corpus, tmp_path):
+    """fetch_mode='callable' (the fused fetch+extract stage: bodies never
+    cross the JVM boundary) must be semantically identical to snapshot mode
+    — same extraction stream, seen set, and visit order as the oracle."""
+    _, pages_dict = corpus
+
+    def fetch_fn(urls):
+        return [
+            (pages_dict.get(u), 200 if u in pages_dict else 404) for u in urls
+        ]
+
+    seeds = webgen.seeds_for(N_PAGES, SEED)
+    program = flagship_program(seeds)
+    oracle = spider(program, SnapshotFetcher(pages_dict))
+    eng = CrawlEngine(
+        spark, None, str(tmp_path / "work"),
+        politeness_k=7, fetch_mode="callable", fetch_fn=fetch_fn,
+    )
+    summary = eng.run(program, max_rounds=50)
+    assert summary.rounds > 3  # budget forced multi-round scheduling
+    assert_parity(oracle, eng)

@@ -94,3 +94,29 @@ def test_ann_lsh_recall(spark):
     assert exact, "no exact pairs"
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.6, f"recall {recall}"
+
+
+def test_cascade_int64_hash_exact():
+    """Regression: mixed result/request batches must not let pandas infer
+    float64 for url_hash (53-bit mantissa would truncate 64-bit hashes,
+    breaking the seen anti-join and refetching seen URLs)."""
+    import pandas as pd
+
+    from boris_spark.engine.compiler import compile_program
+    from boris_spark.engine.udfs import make_cascade_fn
+    from boris_spark.kernel import url_hash
+    from boris_spark.oracle.program import Extract, Go, Lit, UrlE
+
+    url = "http://h11.site42.test/p/14"
+    assert abs(url_hash(url)) > (1 << 53)  # meaningful low bits
+    program = Go(Lit([url]), Extract(UrlE()), Go(Lit([url])))
+    nt = compile_program(program)
+    fan = make_cascade_fn(nt, fanout=True)
+    pdf = pd.DataFrame([
+        dict(pc=program.node_id, cur_url=url, cur_full=url, body="<html></html>",
+             bindings=None, path_key="00000000"),
+    ])
+    (out,) = list(fan(iter([pdf])))
+    req = out[out["kind"] == "request"]
+    assert len(req) == 1
+    assert int(req["url_hash"].iloc[0]) == url_hash(url)
