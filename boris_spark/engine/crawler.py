@@ -164,9 +164,6 @@ class CrawlEngine:
     def run(self, root: P.Node, max_rounds: int = 1000, resume: bool = False) -> CrawlSummary:
         t0 = time.time()
         self.node_table = compile_program(root)
-        self._has_downloads = any(
-            spec.kind == "download" for spec in self.node_table.values()
-        )
         self._cascade_fn = make_cascade_fn(self.node_table)
         self._fanout_fn = make_cascade_fn(self.node_table, fanout=True)
         if self.fetch_mode == "callable":
@@ -188,10 +185,8 @@ class CrawlEngine:
                 [(root.node_id, None, None, None, "", None)],
                 APPLY_SCHEMA + ", body string",
             )
-            requests, n_init_results, persisted = self._cascade(init, rnd=0)
+            requests, n_init_results, _ = self._cascade(init, rnd=0)
             self._checkpoint_frontier(requests, 0)
-            for df in persisted:
-                df.unpersist()
         rnd = start_round
         total_fetched = 0
         total_results = 0
@@ -374,7 +369,7 @@ class CrawlEngine:
         # results-sink keys: (rnd+1)*1000+gen — the pre-round init cascade
         # owns the 0..999 key space
         _mark("pre_cascade")
-        new_requests, n_results, persisted = self._cascade(apply0, rnd + 1, fanout=True)
+        new_requests, n_results, _ = self._cascade(apply0, rnd + 1, fanout=True)
         _mark("cascade")
         frontier_next = new_requests.unionByName(
             deferred.select(*_REQ_COLS)
@@ -386,8 +381,6 @@ class CrawlEngine:
         urls.unpersist()
         unseen.unpersist()
         fetched.unpersist()
-        for df in persisted:
-            df.unpersist()
         for df in self._round_persists:
             df.unpersist()
         metrics = {
@@ -448,25 +441,31 @@ class CrawlEngine:
                 )
         _mark("route")
 
-        out1 = ok.select(*_REQ_COLS, "_fresh", "_blk").mapInPandas(
-            self._fused_fn, CASCADE_SCHEMA
+        # sortWithinPartitions keeps all paths of one url consecutive, so
+        # the fused stage's eval memo is O(1): one fetch + one node eval per
+        # (url, pc, bindings), replayed for every further path (JVM-side
+        # sort of slim rows, no shuffle)
+        out1 = (
+            ok.select(*_REQ_COLS, "_fresh", "_blk")
+            .sortWithinPartitions("url_canon", "pc", "bindings")
+            .mapInPandas(self._fused_fn, CASCADE_SCHEMA)
         )
-        new_requests, n_results, persisted = self._cascade(
+        new_requests, n_results, gen_paths = self._cascade(
             None, rnd + 1, first_out=out1
         )
         _mark("fused_cascade")
 
         # the round's seen delta, aggregated from the fused stage's per-batch
-        # 'fetched' emissions (exchange-free: same url_canon partitioning)
+        # 'fetched' emissions (column-pruned read of the gen-1 snapshot)
         seen_delta = (
-            persisted[0]
+            self.spark.read.parquet(gen_paths[0])
             .where(F.col("kind") == "fetched")
             .groupBy("url_canon")
             .agg(
                 F.first("url_hash").alias("url_hash"),
                 F.first("host").alias("host"),
                 F.min("path_key").alias("path_first"),
-                F.min(F.col("value").cast("int")).alias("status"),
+                F.min("status").alias("status"),
             )
             .withColumn(
                 "bucket", F.pmod(F.col("url_hash"), F.lit(self.n_buckets)).cast("int")
@@ -506,8 +505,6 @@ class CrawlEngine:
         requests.unpersist()
         urls.unpersist()
         unseen.unpersist()
-        for df in persisted:
-            df.unpersist()
         for df in self._round_persists:
             df.unpersist()
         metrics = {
@@ -606,65 +603,56 @@ class CrawlEngine:
         fanout: bool = False,
         first_out: DataFrame | None = None,
     ):
-        """Evaluate non-fetch nodes to fixpoint; returns
-        (requests, n_results, persisted handles to release after the
-        frontier checkpoint materializes the requests)."""
+        """Evaluate non-fetch generations to fixpoint. Each generation is
+        materialized ONCE as a parquet snapshot (sink ``cascade``,
+        round-key ``rnd*1000+gen``); every consumer — results stream,
+        discovered requests, next generation's apply rows, the fused seen
+        delta — reads it back column-pruned, so the multi-KB extraction
+        values are written once and never pass through the block cache or
+        an extra shuffle. Generation row counts come from the parquet
+        kind-column statistics driver-side (no Spark jobs)."""
         import time as _t
         requests_acc = self._empty(REQUEST_SCHEMA)
         n_results = 0
         gen = 0
-        persisted: list[DataFrame] = []
+        gen_paths: list[str] = []
         while True:
             _g1 = _t.time()
             gen += 1
             if gen > 200:
                 raise RuntimeError("cascade depth exceeded (fetch-free recur loop?)")
-            # bodies were attached once at fan-out and are carried forward
-            # by the cascade itself — no per-generation join. Partitioning
-            # comes from the fan-out join's shuffle (AQE coalescing is off in
-            # the engine session so the CPU-heavy python stage keeps full
-            # parallelism without an extra body shuffle here). Eval-first:
-            # emptiness is only ever checked on the persisted output, never
-            # on the unpersisted input chain (which would compute the whole
-            # fan-out join once for the check and again for the eval).
             if first_out is not None and gen == 1:
-                # pre-evaluated first generation (the fused fetch+extract
-                # stage of callable mode) — sink handling is uniform
-                out = first_out.persist()
+                out_raw = first_out
             else:
-                with_body = apply_df.select(
+                # bodies were attached once at fan-out and are carried
+                # forward by the cascade itself — no per-generation join;
+                # url-sorted partitions make the eval memo O(1)
+                out_raw = apply_df.select(
                     "pc", "cur_url", "cur_full",
                     F.coalesce("body", F.lit("")).alias("body"),
                     "bindings", "path_key",
+                ).sortWithinPartitions("cur_url", "pc", "bindings").mapInPandas(
+                    self._fanout_fn if (fanout and gen == 1) else self._cascade_fn,
+                    CASCADE_SCHEMA,
                 )
-                fn = self._fanout_fn if (fanout and gen == 1) else self._cascade_fn
-                out = with_body.mapInPandas(fn, CASCADE_SCHEMA).persist()
-            persisted.append(out)
-            results = out.where(F.col("kind") == "result").select(
-                "path_key", "value", "vkind"
-            )
-            downloads = out.where(F.col("kind") == "download").select(
-                "path_key", F.col("cur_url").alias("url"), "value"
-            )
-            self._append(results, "results", rnd * 1000 + gen)
-            _g2 = _t.time()
-            if self._has_downloads and not downloads.isEmpty():
-                self._append(downloads, "downloads", rnd * 1000 + gen)
-            _g3 = _t.time()
-            n_results += self._pq_rows(self._path("results", f"round={rnd * 1000 + gen}"))
+            key = rnd * 1000 + gen
+            self._append(out_raw, "cascade", key)
+            path = self._path("cascade", f"round={key}")
+            gen_paths.append(path)
+            kinds = self._pq_read(path, columns=["kind"])["kind"].value_counts()
+            n_results += int(kinds.get("result", 0))
             if os.environ.get("BORIS_TIMING"):
-                print(f"  cascade gen{gen}: eval+write={_g2-_g1:.2f} dl={_g3-_g2:.2f} cnt={_t.time()-_g3:.2f}")
+                print(f"  cascade gen{gen}: eval+write={_t.time()-_g1:.2f} kinds={dict(kinds)}")
+            cas = self.spark.read.parquet(path)
             requests_acc = requests_acc.unionByName(
-                out.where(F.col("kind") == "request").select(*_REQ_COLS)
+                cas.where(F.col("kind") == "request").select(*_REQ_COLS)
             )
-            apply_df = out.where(F.col("kind") == "apply").select(
+            if int(kinds.get("apply", 0)) == 0:
+                break
+            apply_df = cas.where(F.col("kind") == "apply").select(
                 "pc", "cur_url", "cur_full", "bindings", "path_key", "body"
             )
-            # out is fully materialized by the results write above, so this
-            # emptiness probe is a cheap scan of the cached partitions
-            if apply_df.isEmpty():
-                break
-        return requests_acc, n_results, persisted
+        return requests_acc, n_results, gen_paths
 
     # ------------------------------------------------------- checkpointing
 
@@ -708,10 +696,25 @@ class CrawlEngine:
 
     # ------------------------------------------------------------ readers
 
+    def downloads_df(self) -> DataFrame:
+        """Download-sink rows (syntax/io.rkt:27-36): body per pruned branch."""
+        df = self._read_sink("cascade")
+        if df is None:
+            return self._empty("path_key string, url string, value string")
+        return (
+            df.where(F.col("kind") == "download")
+            .select("path_key", F.col("cur_url").alias("url"), "value")
+            .orderBy("path_key")
+        )
+
     def results_df(self) -> DataFrame:
-        df = self._read_sink("results")
-        return df.orderBy("path_key") if df is not None else self._empty(
-            "path_key string, value string, vkind string"
+        df = self._read_sink("cascade")
+        if df is None:
+            return self._empty("path_key string, value string, vkind string")
+        return (
+            df.where(F.col("kind") == "result")
+            .select("path_key", "value", "vkind")
+            .orderBy("path_key")
         )
 
     def seen_df(self) -> DataFrame:

@@ -31,13 +31,13 @@ from .compiler import NodeSpec
 CASCADE_SCHEMA = (
     "kind string, pc long, cur_url string, cur_full string, bindings string, path_key string, "
     "url_canon string, url_full string, url_hash long, host string, "
-    "referer string, method string, payload string, value string, vkind string, body string"
+    "referer string, method string, payload string, value string, vkind string, body string, status int"
 )
 
 _COLS = [
     "kind", "pc", "cur_url", "cur_full", "bindings", "path_key", "url_canon",
     "url_full", "url_hash", "host", "referer", "method", "payload", "value",
-    "vkind", "body",
+    "vkind", "body", "status",
 ]
 
 
@@ -150,7 +150,7 @@ def _eval_node(
 
 
 
-_INT_COLS = ("pc", "url_hash")
+_INT_COLS = ("pc", "url_hash", "status")
 
 
 def _frame(out: list[dict]) -> pd.DataFrame:
@@ -169,6 +169,42 @@ def _frame(out: list[dict]) -> pd.DataFrame:
         )
         for c in _COLS
     })
+
+
+def _eval_memo(
+    memo: dict,
+    key: tuple,
+    spec: NodeSpec,
+    node_table: dict[int, NodeSpec],
+    pc: int,
+    cur_url,
+    cur_full,
+    body: str,
+    bindings_json,
+    path: str,
+    out: list[dict],
+) -> None:
+    """Evaluate a node once per (pc, url, cur_full, bindings) and replay the
+    cached output rows for every further path that reaches the same state —
+    exact because node evaluation is a pure function of that key (+ the
+    body, itself a function of the url within a round) and every emitted
+    path is ``input_path + constant_suffix``. Callers keep rows of one url
+    consecutive (sortWithinPartitions) and clear the memo on url change, so
+    memory stays O(paths-per-url). The reference evaluates per crawl branch
+    (interpreter.rkt:54-59); values are identical by purity, this just
+    skips recomputing them."""
+    ent = memo.get(key)
+    if ent is None:
+        ent = []
+        _eval_node(
+            spec, node_table, pc, cur_url, cur_full, body, bindings_json,
+            "", ent,
+        )
+        memo[key] = ent
+    for r in ent:
+        r2 = dict(r)
+        r2["path_key"] = path + r["path_key"]
+        out.append(r2)
 
 
 def make_fused_fn(node_table: dict[int, NodeSpec], fetch_fn):
@@ -192,6 +228,8 @@ def make_fused_fn(node_table: dict[int, NodeSpec], fetch_fn):
     the memoized replay of browser-services.rkt:36-40."""
 
     def fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict = {}
+        memo_url = None
         for pdf in batches:
             out: list[dict] = []
             blks = [bool(b) and b == b for b in pdf["_blk"]]
@@ -217,18 +255,22 @@ def make_fused_fn(node_table: dict[int, NodeSpec], fetch_fn):
                         emitted[url] = len(out)
                         out.append(_out_row(
                             "fetched", url_canon=url, url_hash=url_hash,
-                            host=host, path_key=path, value=str(status),
+                            host=host, path_key=path, status=int(status),
                         ))
                     elif path < out[i]["path_key"]:
                         out[i]["path_key"] = path
                 bindings_json = (
                     bindings_json if isinstance(bindings_json, str) else None
                 )
+                url_full = url_full if isinstance(url_full, str) else None
+                if url != memo_url:
+                    memo.clear()
+                    memo_url = url
                 for j, child in enumerate(node_table[int(pc)].child_ids):
-                    _eval_node(
+                    _eval_memo(
+                        memo, (child, url_full, bindings_json),
                         node_table[child], node_table, child,
-                        url, url_full if isinstance(url_full, str) else None,
-                        body, bindings_json, path + _hx(j), out,
+                        url, url_full, body, bindings_json, path + _hx(j), out,
                     )
             yield _frame(out)
 
@@ -248,6 +290,8 @@ def make_cascade_fn(node_table: dict[int, NodeSpec], fanout: bool = False):
     per fetched page instead of once per (page, child) join row."""
 
     def cascade(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict = {}
+        memo_url = None
         for pdf in batches:
             out: list[dict] = []
             for pc, cur_url, cur_full, body, bindings_json, path in zip(
@@ -262,15 +306,20 @@ def make_cascade_fn(node_table: dict[int, NodeSpec], fanout: bool = False):
                     bindings_json if isinstance(bindings_json, str) else None
                 )
                 path = path or ""
+                if cur_url != memo_url:
+                    memo.clear()
+                    memo_url = cur_url
                 if fanout:
                     for j, child in enumerate(node_table[pc].child_ids):
-                        _eval_node(
+                        _eval_memo(
+                            memo, (child, cur_full, bindings_json),
                             node_table[child], node_table, child,
                             cur_url, cur_full, body, bindings_json,
                             path + _hx(j), out,
                         )
                 else:
-                    _eval_node(
+                    _eval_memo(
+                        memo, (pc, cur_full, bindings_json),
                         node_table[pc], node_table, pc,
                         cur_url, cur_full, body, bindings_json, path, out,
                     )

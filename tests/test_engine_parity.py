@@ -196,8 +196,8 @@ def test_click_submit_download_parity(spark, tmp_path):
     eng = CrawlEngine(spark, pages_df, str(tmp_path / "w"), politeness_k=None)
     eng.run(program, max_rounds=10)
     assert_parity(oracle, eng)
-    dls = eng._read_sink("downloads")
-    assert dls is not None and dls.count() == 1
+    dls = eng.downloads_df()
+    assert dls.count() == 1
     assert oracle.downloads and oracle.downloads[0][1] == "http://s.test/"
 
 
