@@ -357,14 +357,18 @@ class CrawlEngine:
         # fan to children of the navigate node: done INSIDE the first
         # cascade generation's Arrow batch (node_table is driver-static) —
         # no join, and each page body crosses into Python exactly once
-        apply0 = with_body.select(
+        apply0_cols = [
             "pc",
             F.col("url_canon").alias("cur_url"),
             F.col("url_full").alias("cur_full"),
             "bindings",
             "path_key",
             F.coalesce("body", F.lit("")).alias("body"),
-        )
+            "method",
+        ]
+        if "head" in with_body.columns:
+            apply0_cols.append("head")
+        apply0 = with_body.select(*apply0_cols)
 
         # results-sink keys: (rnd+1)*1000+gen — the pre-round init cascade
         # owns the 0..999 key space
@@ -547,14 +551,14 @@ class CrawlEngine:
             make_http_fetch_fn(self.http_timeout),
             "url_canon string, pk string, url_hash long, host string, "
             "url_full string, method string, payload string, "
-            "body string, status int",
+            "body string, status int, head string",
         ).withColumn(
             "bucket", F.pmod(F.col("url_hash"), F.lit(self.n_buckets)).cast("int")
         )
         # bodies persist to the store sink (the crash-resumable page cache —
         # the reference's fs-dict, persistent/main.rkt:37-67)
         self._append(
-            fetched.select("url_canon", "body", "status"), "store", rnd
+            fetched.select("url_canon", "body", "status", "head"), "store", rnd
         )
         # slim return: bodies live in the store sink (= the body source for
         # the cascade's attach join); only keys + status flow onward
@@ -627,11 +631,15 @@ class CrawlEngine:
                 # bodies were attached once at fan-out and are carried
                 # forward by the cascade itself — no per-generation join;
                 # url-sorted partitions make the eval memo O(1)
-                out_raw = apply_df.select(
-                    "pc", "cur_url", "cur_full",
-                    F.coalesce("body", F.lit("")).alias("body"),
-                    "bindings", "path_key",
-                ).sortWithinPartitions("cur_url", "pc", "bindings").mapInPandas(
+                cols = ["pc", "cur_url", "cur_full",
+                        F.coalesce("body", F.lit("")).alias("body"),
+                        "bindings", "path_key"]
+                for opt in ("head", "method"):
+                    if opt in apply_df.columns:
+                        cols.append(opt)
+                out_raw = apply_df.select(*cols).sortWithinPartitions(
+                    "cur_url", "pc", "bindings"
+                ).mapInPandas(
                     self._fanout_fn if (fanout and gen == 1) else self._cascade_fn,
                     CASCADE_SCHEMA,
                 )
@@ -650,7 +658,8 @@ class CrawlEngine:
             if int(kinds.get("apply", 0)) == 0:
                 break
             apply_df = cas.where(F.col("kind") == "apply").select(
-                "pc", "cur_url", "cur_full", "bindings", "path_key", "body"
+                "pc", "cur_url", "cur_full", "bindings", "path_key", "body",
+                "head", "method",
             )
         return requests_acc, n_results, gen_paths
 
@@ -663,8 +672,8 @@ class CrawlEngine:
             return self.pages
         store = self._read_sink("store")
         if store is None:
-            return self._empty("url_canon string, body string")
-        return store.select("url_canon", "body")
+            return self._empty("url_canon string, body string, head string")
+        return store.select("url_canon", "body", "head")
 
     def _checkpoint_frontier(self, df: DataFrame, rnd: int) -> None:
         # The parquet round-trip is the lineage break. Repartitioning here is

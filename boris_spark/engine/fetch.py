@@ -51,7 +51,7 @@ def fetch_one(
     referer: str | None = None,
     timeout: float = 10.0,
     jar: list | None = None,
-) -> tuple[int, str]:
+) -> tuple[int, str, tuple[str, list]]:
     """Fetch one URL, following redirects manually (http.rkt:111-122).
 
     *jar* (mutable cookie list) mirrors the per-branch cookie state of
@@ -88,7 +88,11 @@ def fetch_one(
         try:
             with _OPENER.open(req, timeout=timeout) as resp:
                 _fold_cookies(resp.headers)
-                return (resp.status, resp.read().decode("utf-8", "replace"))
+                head = (
+                    f"HTTP/1.1 {resp.status} {getattr(resp, 'reason', '') or ''}".rstrip(),
+                    [[k, v] for k, v in resp.headers.items()],
+                )
+                return (resp.status, resp.read().decode("utf-8", "replace"), head)
         except urllib.error.HTTPError as e:
             _fold_cookies(e.headers)
             loc = e.headers.get("Location")
@@ -98,10 +102,14 @@ def fetch_one(
                 url = urllib.parse.urljoin(url, loc)
                 method, data = "GET", None
                 continue
-            return (e.code, e.read().decode("utf-8", "replace"))
+            head = (
+                f"HTTP/1.1 {e.code} {getattr(e, 'reason', '') or ''}".rstrip(),
+                [[k, v] for k, v in e.headers.items()],
+            )
+            return (e.code, e.read().decode("utf-8", "replace"), head)
         except Exception:  # noqa: BLE001 — network errors → 0, empty body
-            return (0, "")
-    return (0, "")
+            return (0, "", ("", []))
+    return (0, "", ("", []))
 
 
 def make_http_fetch_fn(timeout: float = 10.0, threads: int = 8):
@@ -117,11 +125,12 @@ def make_http_fetch_fn(timeout: float = 10.0, threads: int = 8):
                     )
                 )
                 out = pdf.copy()
-                out["status"] = [s for s, _ in results]
-                out["body"] = [b for _, b in results]
+                out["status"] = [r[0] for r in results]
+                out["body"] = [r[1] for r in results]
+                out["head"] = [json.dumps(list(r[2])) for r in results]
                 yield out[
                     ["url_canon", "pk", "url_hash", "host", "url_full",
-                     "method", "payload", "body", "status"]
+                     "method", "payload", "body", "status", "head"]
                 ]
 
     return fetch

@@ -31,13 +31,13 @@ from .compiler import NodeSpec
 CASCADE_SCHEMA = (
     "kind string, pc long, cur_url string, cur_full string, bindings string, path_key string, "
     "url_canon string, url_full string, url_hash long, host string, "
-    "referer string, method string, payload string, value string, vkind string, body string, status int"
+    "referer string, method string, payload string, value string, vkind string, body string, status int, head string"
 )
 
 _COLS = [
     "kind", "pc", "cur_url", "cur_full", "bindings", "path_key", "url_canon",
     "url_full", "url_hash", "host", "referer", "method", "payload", "value",
-    "vkind", "body", "status",
+    "vkind", "body", "status", "head",
 ]
 
 
@@ -67,11 +67,14 @@ def _eval_node(
     bindings_json: str | None,
     path: str,
     out: list[dict],
+    head: tuple | None = None,
+    method: str = "GET",
 ) -> None:
     bindings = P.bindings_from_json(bindings_json)
     base = cur_full or cur_url
-    ctx = P.EvalCtx(body or "", base, bindings)
+    ctx = P.EvalCtx(body or "", base, bindings, head=head, method=method)
     kind = spec.kind
+    head_json = json.dumps(list(head)) if head is not None else None
 
     if kind in ("go", "click"):
         urls = P.ensure_list(spec.urls.eval(ctx))
@@ -117,6 +120,7 @@ def _eval_node(
                 out.append(_out_row(
                     "apply", pc=child, cur_url=cur_url, cur_full=cur_full, bindings=nb,
                     path_key=path + _hx(i) + _hx(j), body=body,
+                    head=head_json, method=method,
                 ))
     elif kind == "label":
         nb = P.bindings_to_json({**bindings, P.LABEL_PREFIX + spec.name: pc})
@@ -124,6 +128,7 @@ def _eval_node(
             out.append(_out_row(
                 "apply", pc=child, cur_url=cur_url, cur_full=cur_full, bindings=nb,
                 path_key=path + _hx(0) + _hx(j), body=body,
+                head=head_json, method=method,
             ))
     elif kind == "recur":
         target = node_table[int(bindings[P.LABEL_PREFIX + spec.name])]
@@ -131,6 +136,7 @@ def _eval_node(
             out.append(_out_row(
                 "apply", pc=child, cur_url=cur_url, cur_full=cur_full, bindings=bindings_json,
                 path_key=path + _hx(0) + _hx(j), body=body,
+                head=head_json, method=method,
             ))
     elif kind == "show":
         if spec.value is not None:
@@ -139,6 +145,7 @@ def _eval_node(
             out.append(_out_row(
                 "apply", pc=child, cur_url=cur_url, cur_full=cur_full, bindings=bindings_json,
                 path_key=path + _hx(0) + _hx(j), body=body,
+                head=head_json, method=method,
             ))
     elif kind == "download":
         out.append(_out_row(
@@ -183,6 +190,8 @@ def _eval_memo(
     bindings_json,
     path: str,
     out: list[dict],
+    head: tuple | None = None,
+    method: str = "GET",
 ) -> None:
     """Evaluate a node once per (pc, url, cur_full, bindings) and replay the
     cached output rows for every further path that reaches the same state —
@@ -198,7 +207,7 @@ def _eval_memo(
         ent = []
         _eval_node(
             spec, node_table, pc, cur_url, cur_full, body, bindings_json,
-            "", ent,
+            "", ent, head=head, method=method,
         )
         memo[key] = ent
     for r in ent:
@@ -236,16 +245,22 @@ def make_fused_fn(node_table: dict[int, NodeSpec], fetch_fn):
             need = sorted(
                 {u for u, b in zip(pdf["url_canon"], blks) if not b}
             )
+            # fetch_fn returns (body, status) — file-style empty head — or
+            # (body, status, head) with head = (status line, header alist)
             fetched = dict(zip(need, fetch_fn(need))) if need else {}
             emitted: dict[str, int] = {}
-            for pc, url, url_full, url_hash, host, bindings_json, path, fresh, blk in zip(
+            for pc, url, url_full, url_hash, host, bindings_json, path, fresh, blk, method in zip(
                 pdf["pc"], pdf["url_canon"], pdf["url_full"], pdf["url_hash"],
                 pdf["host"], pdf["bindings"], pdf["path_key"], pdf["_fresh"], blks,
+                pdf["method"],
             ):
+                head = None
                 if blk:
                     body, status = "", 999
                 else:
-                    body, status = fetched.get(url, ("", 404))
+                    resp = fetched.get(url, ("", 404))
+                    body, status = resp[0], resp[1]
+                    head = resp[2] if len(resp) > 2 else None
                     if body is None:
                         body = ""
                 path = path or ""
@@ -263,14 +278,16 @@ def make_fused_fn(node_table: dict[int, NodeSpec], fetch_fn):
                     bindings_json if isinstance(bindings_json, str) else None
                 )
                 url_full = url_full if isinstance(url_full, str) else None
+                method = method if isinstance(method, str) else "GET"
                 if url != memo_url:
                     memo.clear()
                     memo_url = url
                 for j, child in enumerate(node_table[int(pc)].child_ids):
                     _eval_memo(
-                        memo, (child, url_full, bindings_json),
+                        memo, (child, url_full, bindings_json, method),
                         node_table[child], node_table, child,
                         url, url_full, body, bindings_json, path + _hx(j), out,
+                        head=head, method=method,
                     )
             yield _frame(out)
 
@@ -294,9 +311,11 @@ def make_cascade_fn(node_table: dict[int, NodeSpec], fanout: bool = False):
         memo_url = None
         for pdf in batches:
             out: list[dict] = []
-            for pc, cur_url, cur_full, body, bindings_json, path in zip(
+            heads = pdf["head"] if "head" in pdf.columns else [None] * len(pdf)
+            methods = pdf["method"] if "method" in pdf.columns else ["GET"] * len(pdf)
+            for pc, cur_url, cur_full, body, bindings_json, path, head_json, method in zip(
                 pdf["pc"], pdf["cur_url"], pdf["cur_full"], pdf["body"],
-                pdf["bindings"], pdf["path_key"]
+                pdf["bindings"], pdf["path_key"], heads, methods,
             ):
                 pc = int(pc)
                 cur_url = cur_url if isinstance(cur_url, str) else None
@@ -305,6 +324,11 @@ def make_cascade_fn(node_table: dict[int, NodeSpec], fanout: bool = False):
                 bindings_json = (
                     bindings_json if isinstance(bindings_json, str) else None
                 )
+                head = (
+                    tuple(json.loads(head_json))
+                    if isinstance(head_json, str) else None
+                )
+                method = method if isinstance(method, str) else "GET"
                 path = path or ""
                 if cur_url != memo_url:
                     memo.clear()
@@ -312,16 +336,17 @@ def make_cascade_fn(node_table: dict[int, NodeSpec], fanout: bool = False):
                 if fanout:
                     for j, child in enumerate(node_table[pc].child_ids):
                         _eval_memo(
-                            memo, (child, cur_full, bindings_json),
+                            memo, (child, cur_full, bindings_json, method),
                             node_table[child], node_table, child,
                             cur_url, cur_full, body, bindings_json,
-                            path + _hx(j), out,
+                            path + _hx(j), out, head=head, method=method,
                         )
                 else:
                     _eval_memo(
-                        memo, (pc, cur_full, bindings_json),
+                        memo, (pc, cur_full, bindings_json, method),
                         node_table[pc], node_table, pc,
                         cur_url, cur_full, body, bindings_json, path, out,
+                        head=head, method=method,
                     )
             yield _frame(out)
 

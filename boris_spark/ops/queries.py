@@ -485,16 +485,24 @@ def dedup_simhash(spark, sf_dir):
         d.select("doc_id", F.explode(toks).alias("tok")).distinct()
         .withColumn("h", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long"))
     )
-    bits = (
-        tok.select("doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(59))).alias("b"))
-        .withColumn(
-            "bit", F.expr("CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END")
+    # ONE shuffle (tokens → per-doc hash array); the 60 bit-votes run as
+    # whole-stage-codegen higher-order functions over the array — the naive
+    # form explodes 60 rows per token (a 60× shuffle amplification that
+    # would dominate at 100 TB)
+    sh = (
+        tok.groupBy("doc_id")
+        .agg(F.collect_list("h").alias("hs"))
+        .select(
+            "doc_id",
+            F.expr(
+                "aggregate(transform(sequence(0, 59), b -> "
+                "  CASE WHEN aggregate(hs, CAST(0 AS BIGINT), (acc, h) -> "
+                "    acc + CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
+                "  THEN shiftleft(CAST(1 AS BIGINT), CAST(b AS INT)) "
+                "  ELSE CAST(0 AS BIGINT) END), "
+                "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            ).alias("simhash"),
         )
-        .groupBy("doc_id", "b")
-        .agg(F.sum("bit").alias("s"))
-    )
-    sh = bits.groupBy("doc_id").agg(
-        F.sum(F.expr("CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(b AS INT)) ELSE 0L END")).alias("simhash")
     )
     banded = sh.select(
         "doc_id", "simhash",

@@ -72,6 +72,8 @@ class _State:
     url_full: str | None = None  # full request url (the reference's browser-url)
     body: str = ""
     bindings: dict[str, Any] = field(default_factory=dict)
+    head: tuple[str, list] | None = None  # (status line, header alist); None = file semantics
+    method: str = "GET"
 
 
 class Spider:
@@ -95,7 +97,8 @@ class Spider:
         self._steps += 1
         if self._steps > self._max_steps:
             raise RuntimeError("oracle step budget exceeded (cyclic program?)")
-        ctx = P.EvalCtx(state.body, state.url_full or state.url, state.bindings)
+        ctx = P.EvalCtx(state.body, state.url_full or state.url, state.bindings,
+                        head=state.head, method=state.method)
 
         if isinstance(node, (P.Go, P.Click)):
             urls = P.ensure_list(node.urls.eval(ctx))
@@ -113,7 +116,8 @@ class Spider:
         elif isinstance(node, (P.LetWeb, P.ForWeb)):
             for i, bset in enumerate(self._binding_sets(node, ctx)):
                 new = _State(state.url, state.url_full, state.body,
-                             {**state.bindings, **bset})
+                             {**state.bindings, **bset},
+                             state.head, state.method)
                 self._fan_children(node.children, new, path, i)
         elif isinstance(node, P.Label):
             # control.rkt:14-20 — bind the label node itself (the web whose
@@ -121,6 +125,7 @@ class Spider:
             new = _State(
                 state.url, state.url_full, state.body,
                 {**state.bindings, P.LABEL_PREFIX + node.name: node},
+                state.head, state.method,
             )
             self._fan_children(node.children, new, path, 0)
         elif isinstance(node, P.Recur):
@@ -159,13 +164,18 @@ class Spider:
             url_canon, url_full = resolve2(state.url_full or state.url, str(u))
             self.result.discoveries.append((url_canon, path + (i,)))
             if url_canon in self.cache:
-                body = self.cache[url_canon]  # cache hit: replay
+                body, head = self.cache[url_canon]  # cache hit: full replay
             else:
-                _status, body = self.fetcher.fetch(url_canon, method, form_data, url_full)
-                self.cache[url_canon] = body
+                resp = self.fetcher.fetch(url_canon, method, form_data, url_full)
+                # (status, body) → file semantics (empty head, file.rkt:38-47);
+                # (status, body, head) → live head = (status line, alist)
+                body = resp[1]
+                head = resp[2] if len(resp) > 2 else None
+                self.cache[url_canon] = (body, head)
                 self.result.visits.append(url_canon)
                 self.result.seen.add(url_canon)
-            new = _State(url_canon, url_full, body, dict(state.bindings))
+            new = _State(url_canon, url_full, body, dict(state.bindings),
+                         head, method)
             self._fan_children(node.children, new, path, i)
 
     def _fan_children(self, children, state: _State, path, i: int) -> None:

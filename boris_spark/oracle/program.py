@@ -37,6 +37,13 @@ class EvalCtx:
     body: str = ""
     url: str | None = None
     bindings: dict[str, Any] = field(default_factory=dict)
+    # response head: (status-line string, [(Name, value), ...]). File-style
+    # fetches (the snapshot modes) have empty status/head exactly like the
+    # reference's file requests (/root/reference/hypertext-browser/file.rkt:38-47);
+    # live HTTP carries the real status line + header alist.
+    head: tuple[str, list] | None = None
+    # originating request metadata (previous-request, selectors.rkt:29-30)
+    method: str = "GET"
 
 
 class Expr:
@@ -75,6 +82,27 @@ class UrlE(Expr):
 
     def eval(self, ctx):
         return ctx.url
+
+
+@dataclass
+class HeadE(Expr):
+    """selectors.rkt:19-21 — cons(response status, header alist). Presented
+    as [status_line, [name, value], ...]. Empty status/head for file-style
+    (snapshot) fetches, per the reference's file.rkt:38-47."""
+
+    def eval(self, ctx):
+        status, pairs = ctx.head if ctx.head is not None else ("", [])
+        return [status, *[[k, v] for k, v in pairs]]
+
+
+@dataclass
+class PrevRequestE(Expr):
+    """selectors.rkt:29-30 — the request for the current page, presented as
+    [method, absolute_url] (the reference returns the request struct; its
+    url and method are what crawl programs consume)."""
+
+    def eval(self, ctx):
+        return [ctx.method or "GET", ctx.url]
 
 
 @dataclass

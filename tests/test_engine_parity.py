@@ -222,3 +222,51 @@ def test_fused_callable_mode_parity(spark, corpus, tmp_path):
     summary = eng.run(program, max_rounds=50)
     assert summary.rounds > 3  # budget forced multi-round scheduling
     assert_parity(oracle, eng)
+
+
+def test_head_and_previous_request_selectors(spark, tmp_path):
+    """op 22 (selectors.rkt:19-21, 29-30): head = (status line . header
+    alist) — empty for file-style fetches (file.rkt:38-47), real for live
+    heads — and previous-request, byte-identical engine vs oracle."""
+    from boris_spark.oracle.program import HeadE, PrevRequestE
+
+    site = {
+        "http://s.test/": "<html><body><td class='title'>"
+                          "<a href='/p'>p</a></td></body></html>",
+        "http://s.test/p": "<html><body><p>leaf</p></body></html>",
+    }
+    heads = {
+        "http://s.test/": ("HTTP/1.1 200 OK", [["Content-Type", "text/html"],
+                                               ["X-Crawl", "a"]]),
+        "http://s.test/p": ("HTTP/1.1 200 OK", [["Content-Type", "text/html"]]),
+    }
+
+    class HeadFetcher:
+        def fetch(self, url_canon, method="GET", form_data=None, url_full=None):
+            body = site.get(url_canon)
+            if body is None:
+                return (404, "", ("HTTP/1.1 404 Not Found", []))
+            return (200, body, heads[url_canon])
+
+    def fetch_fn(urls):
+        return [
+            (site.get(u), 200 if u in site else 404,
+             heads.get(u, ("HTTP/1.1 404 Not Found", [])))
+            for u in urls
+        ]
+
+    program = Go(
+        "http://s.test/",
+        Extract(HeadE()),
+        Extract(PrevRequestE()),
+        Go(XpathE("//td[@class='title']/a/@href/text()"),
+           Extract(HeadE()), Extract(PrevRequestE())),
+    )
+    oracle = spider(program, HeadFetcher())
+    assert any("X-Crawl" in str(f.value) for f in oracle.flies)
+    eng = CrawlEngine(
+        spark, None, str(tmp_path / "w"),
+        politeness_k=None, fetch_mode="callable", fetch_fn=fetch_fn,
+    )
+    eng.run(program, max_rounds=10)
+    assert_parity(oracle, eng)

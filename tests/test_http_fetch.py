@@ -51,7 +51,7 @@ def server():
 
 
 def test_fetch_one_follows_redirects(server):
-    status, body = fetch_one(server + "/r")
+    status, body, head = fetch_one(server + "/r")
     assert status == 200
     assert body == PAGES["/b"]
     assert fetch_one(server + "/missing")[0] == 404
@@ -94,7 +94,7 @@ def test_cookie_roundtrip_over_redirect(server_cookies):
     — the reference asserts the same round-trip against its echo server
     (hypertext-browser/http.rkt:145-166)."""
     jar = []
-    status, body = fetch_one(server_cookies + "/setc", jar=jar)
+    status, body, _head = fetch_one(server_cookies + "/setc", jar=jar)
     assert status == 200
     assert body == "cookie seen: tok=abc123"
     assert ("tok", "abc123", "127.0.0.1", "/") in jar
