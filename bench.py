@@ -33,6 +33,7 @@ BENCH_QUERIES = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_embedding_cosine",
     "doc_fingerprint",
     "token_count",
     "lang_id",

@@ -24,12 +24,20 @@ def get_spark(
     cores: int | None = None,
     shuffle_partitions: int | None = None,
     extra: dict | None = None,
+    master: str | None = "local",
 ) -> SparkSession:
+    """master="local" (default) pins local[cores]; master=None inherits the
+    master from spark-submit — the cluster path (scripts/submit_crawl.py via
+    spark-submit --py-files dist/boris_spark.zip)."""
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(cores, 32)
+    b = SparkSession.builder
+    if master == "local":
+        b = b.master(f"local[{cores}]")
+    elif master is not None:
+        b = b.master(master)
     b = (
-        SparkSession.builder.master(f"local[{cores}]")
-        .appName(app)
+        b.appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")

@@ -689,6 +689,36 @@ def ann_cosine_topk(spark, sf_dir):
     )
 
 
+@q(
+    "dedup_embedding_cosine",
+    """
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(
+               CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(
+               CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) >= 0.4
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs: exact all-pairs cosine >= τ. This is
+    the VERIFICATION form (exact, oracle-checkable); at 10^8+ vectors the
+    candidate pairs come from the LSH-bucketed plan below (ann_lsh_bucketed's
+    random-hyperplane buckets) and only candidates reach this exact cosine —
+    the same candidates→verify split as dedup_minhash_lsh. JVM-side
+    zip_with/aggregate arithmetic, no UDF; one side broadcast."""
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    sim = F.round(_cosine(F.col("v"), F.col("vb")), 4)
+    return (
+        e.join(F.broadcast(b), F.col("vec_id") < F.col("vec_b"))
+        .select(F.col("vec_id").alias("vec_a"), "vec_b", sim.alias("cosine"))
+        .where(F.col("cosine") >= 0.4)
+    )
+
+
 @q("ann_lsh_bucketed")  # no SQL oracle: approximate recall — rows-only check
 def ann_lsh_bucketed(spark, sf_dir):
     """Scale path for ANN: random-hyperplane LSH (8 deterministic

@@ -1,0 +1,79 @@
+"""spark-submit entry point for the distributed crawl (the north rule's
+deploy path):
+
+    python scripts/package.py
+    spark-submit --master <cluster> --py-files dist/boris_spark.zip \
+        scripts/submit_crawl.py --workdir /data/crawl1 \
+        --pages /data/pages_parquet            # snapshot mode, or
+        --synthetic 480000 --weight 32         # deterministic synthetic web
+        [--politeness-k 100000] [--max-rounds 32] [--resume]
+
+The SparkSession inherits the master/executor topology from spark-submit
+(no master override), so the SAME script runs at N and 4N executors — the
+two-cluster-size criterion. Each round commits resumable parquet snapshots
+with per-partition lineage manifests; pass --resume to continue a killed
+crawl from its last completed round.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir", required=True)
+    ap.add_argument("--pages", help="parquet pages table (snapshot fetch mode)")
+    ap.add_argument("--synthetic", type=int, default=0,
+                    help="crawl the deterministic synthetic web of N pages (callable mode)")
+    ap.add_argument("--weight", type=int, default=32, help="synthetic page weight")
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--seed-every", type=int, default=16,
+                    help="synthetic seeds: one per this many pages")
+    ap.add_argument("--politeness-k", type=int, default=100000)
+    ap.add_argument("--max-rounds", type=int, default=32)
+    ap.add_argument("--n-buckets", type=int, default=64)
+    ap.add_argument("--resume", action="store_true")
+    args = ap.parse_args()
+
+    from boris_spark.engine.crawler import CrawlEngine
+    from boris_spark.engine.session import get_spark
+    from boris_spark.oracle.program import Extract, Go, Lit, PageProfileE, XpathE
+    from boris_spark.synth import webgen
+
+    spark = get_spark("boris-crawl", master=None)
+
+    links_q = XpathE("//td[@class='title']/a/@href/text()")
+    feat = Extract(PageProfileE())
+    if args.synthetic:
+        n = args.synthetic
+        seeds = [webgen.page_url(i, n, args.seed) for i in range(0, n, args.seed_every)]
+        program = Go(Lit(seeds), feat, Go(links_q, feat, Go(links_q, feat)))
+        eng = CrawlEngine(
+            spark, None, args.workdir, fetch_mode="callable",
+            fetch_fn=webgen.make_fetcher(n, args.seed, args.weight),
+            politeness_k=args.politeness_k, n_buckets=args.n_buckets,
+        )
+    else:
+        if not args.pages:
+            ap.error("--pages or --synthetic required")
+        pages = spark.read.parquet(args.pages)
+        seeds = [r["url"] for r in pages.select("url").limit(64).collect()]
+        program = Go(Lit(seeds), feat, Go(links_q, feat, Go(links_q, feat)))
+        eng = CrawlEngine(
+            spark, pages, args.workdir,
+            politeness_k=args.politeness_k, n_buckets=args.n_buckets,
+        )
+
+    s = eng.run(program, max_rounds=args.max_rounds, resume=args.resume)
+    print(json.dumps({
+        "rounds": s.rounds, "fetched": s.fetched, "results": s.results,
+        "wall_s": round(s.wall_s, 2),
+        "urls_per_sec": round(s.fetch_throughput, 1),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
