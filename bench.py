@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "ann_cosine_topk",
     "ann_lsh_bucketed",
     "events_sessionize",
+    "events_sessionize_stream",
     "tpch_q3_revenue",
     "url_canonicalize",
 ]

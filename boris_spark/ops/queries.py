@@ -836,6 +836,49 @@ def tpch_q3_revenue(spark, sf_dir):
 
 
 @q(
+    "events_sessionize_stream",
+    """
+    WITH g AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL THEN 0
+                    WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1
+                    ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+        SELECT user_id, ts,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS UNBOUNDED PRECEDING) AS sess
+        FROM g
+    )
+    SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, sess
+    """,
+)
+def events_sessionize_stream(spark, sf_dir):
+    """Structured-Streaming sessionization (session_window + watermark) run
+    to completion with Trigger.AvailableNow over the events table — the
+    streaming plan, batch-verified against the gap-based SQL oracle.
+    session_window end = last event + gap, matching the oracle's
+    max(ts) + 30min."""
+    import tempfile
+
+    from ..streaming.sessionize import run_available_now, stream_sessionize
+
+    sdf = stream_sessionize(
+        spark, sf_dir, glob="events.parquet",
+        schema="event_id bigint, ts timestamp, user_id bigint, "
+               "event_type string, value double, props string",
+    )
+    name = "events_sessions_stream"
+    run_available_now(sdf, tempfile.mkdtemp(prefix="boris_stream_ckpt_"), name)
+    return spark.table(name)
+
+
+@q(
     "events_sessionize",
     """
     WITH g AS (

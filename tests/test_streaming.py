@@ -1,0 +1,67 @@
+"""Structured-Streaming ops: session windows + streaming frontier dedup.
+
+Driven through real readStream/writeStream with Trigger.AvailableNow over
+file sources — the batch-equivalent execution of the streaming plan."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from boris_spark.streaming import stream_frontier_dedup, stream_sessionize
+from boris_spark.streaming.frontier_feed import run_append_available_now
+from boris_spark.streaming.sessionize import run_available_now
+
+
+def _write_events(spark, path):
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = []
+    # user 1: two sessions (gap > 30 min); user 2: one session
+    for i, off in enumerate((0, 5, 10, 120, 125)):
+        rows.append((i, base + dt.timedelta(minutes=off), 1, "c", "u", 10))
+    for i, off in enumerate((0, 20, 40)):
+        rows.append((10 + i, base + dt.timedelta(minutes=off), 2, "c", "u", 10))
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "url string, dwell_ms bigint",
+    ).write.mode("overwrite").parquet(path)
+
+
+def test_stream_sessionize(spark, tmp_path):
+    src = str(tmp_path / "events")
+    _write_events(spark, src)
+    sdf = stream_sessionize(spark, src)
+    assert sdf.isStreaming
+    run_available_now(sdf, str(tmp_path / "ckpt"), "sessions_t")
+    got = {
+        (r["user_id"], r["n_events"])
+        for r in spark.table("sessions_t").collect()
+    }
+    # user 1: sessions of 3 and 2 events; user 2: one chained session of 3
+    assert got == {(1, 3), (1, 2), (2, 3)}
+
+
+def test_stream_frontier_dedup_exactly_once(spark, tmp_path):
+    src = str(tmp_path / "disc")
+    ts = dt.datetime(2024, 1, 1)
+    rows = [
+        ("http://a/1", 11, "a", "00", ts),
+        ("http://a/1", 11, "a", "01", ts),  # duplicate discovery
+        ("http://a/2", 22, "a", "02", ts),
+        ("http://b/1", 33, "b", "03", ts),
+        ("http://a/2", 22, "a", "04", ts),  # duplicate
+    ]
+    spark.createDataFrame(
+        rows,
+        "url_canon string, url_hash bigint, host string, path_key string, "
+        "discovered_ts timestamp",
+    ).write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "frontier_out")
+    sdf = stream_frontier_dedup(spark, src)
+    assert sdf.isStreaming
+    run_append_available_now(sdf, str(tmp_path / "ckpt2"), out)
+    got = sorted(
+        r["url_canon"] for r in spark.read.parquet(out).collect()
+    )
+    assert got == ["http://a/1", "http://a/2", "http://b/1"]
