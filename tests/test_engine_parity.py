@@ -270,3 +270,37 @@ def test_head_and_previous_request_selectors(spark, tmp_path):
     )
     eng.run(program, max_rounds=10)
     assert_parity(oracle, eng)
+
+
+def test_robots_parity_fused_callable(spark, corpus, tmp_path):
+    """robots + the fused callable path: blocked URLs (this round's AND
+    previous rounds') traverse with empty bodies and never reach the
+    fetcher; parity with the oracle under a politeness budget that forces
+    multi-round scheduling of blocked/unblocked mixes."""
+    from boris_spark.engine.robots import RobotsSnapshotFetcher, robots_rules_df
+
+    _, pages_dict = corpus
+    seeds = webgen.seeds_for(N_PAGES, SEED)
+    program = flagship_program(seeds)
+    rules = [("h0.site42.test", "/p/1"), ("h1.site42.test", "/")]
+    from boris_spark.oracle import spider as run_spider
+
+    oracle = run_spider(program, RobotsSnapshotFetcher(pages_dict, rules))
+
+    def fetch_fn(urls):
+        return [
+            (pages_dict.get(u), 200 if u in pages_dict else 404) for u in urls
+        ]
+
+    eng = CrawlEngine(
+        spark, None, str(tmp_path / "work"), politeness_k=5,
+        fetch_mode="callable", fetch_fn=fetch_fn,
+        robots_rules=robots_rules_df(spark, rules),
+    )
+    summary = eng.run(program, max_rounds=60)
+    assert summary.rounds > 3
+    assert_parity(oracle, eng)
+    blocked = {
+        r["url_canon"] for r in eng.seen_df().where("status = 999").collect()
+    }
+    assert blocked, "rules matched nothing"
