@@ -83,6 +83,7 @@ class CrawlEngine:
         use_bloom: bool = True,
         bloom_bits: int = 1 << 17,
         robots_rules: DataFrame | None = None,
+        host_budgets: DataFrame | None = None,  # (host, budget): per-host k
         fetch_mode: str = "snapshot",  # "snapshot" | "http" | "callable"
         http_timeout: float = 10.0,
         fetch_fn=None,  # callable mode: list[url] -> list[(body, status)]
@@ -95,6 +96,7 @@ class CrawlEngine:
         self.use_bloom = use_bloom
         self.bloom = BloomShardStore(n_buckets, bloom_bits) if use_bloom else None
         self.robots = robots_rules
+        self.host_budgets = host_budgets
         self.fetch_mode = fetch_mode
         self.http_timeout = http_timeout
         os.makedirs(workdir, exist_ok=True)
@@ -257,20 +259,30 @@ class CrawlEngine:
                 "bucket", F.pmod(F.col("url_hash"), F.lit(self.n_buckets)).cast("int")
             ).withColumn("status", F.lit(ROBOTS_STATUS))
 
-        # politeness: top-k per host per round, two-phase salted (skew-safe)
-        if self.politeness_k is not None:
-            k = self.politeness_k
+        # politeness: top-budget per host per round, two-phase salted
+        # (skew-safe). The budget is per-host (broadcast budgets table,
+        # north star: "per-host politeness budgets") with politeness_k as
+        # the default; phase 1 bounds any hot host to salts × max-budget
+        # survivors before the exact per-host window.
+        if self.politeness_k is not None or self.host_budgets is not None:
+            k = self.politeness_k if self.politeness_k is not None else (1 << 30)
             salted = unseen.withColumn(
                 "salt", F.pmod(F.col("url_hash"), F.lit(self.salt_parts))
             )
+            if self.host_budgets is not None:
+                salted = salted.join(
+                    F.broadcast(self.host_budgets), "host", "left"
+                ).withColumn("budget", F.coalesce("budget", F.lit(k)))
+            else:
+                salted = salted.withColumn("budget", F.lit(k))
             w1 = Window.partitionBy("host", "salt").orderBy("pk")
             w2 = Window.partitionBy("host").orderBy("pk")
             selected = (
                 salted.withColumn("rn", F.row_number().over(w1))
-                .where(F.col("rn") <= k)
+                .where(F.col("rn") <= F.col("budget"))
                 .withColumn("rn2", F.row_number().over(w2))
-                .where(F.col("rn2") <= k)
-                .drop("rn", "rn2", "salt")
+                .where(F.col("rn2") <= F.col("budget"))
+                .drop("rn", "rn2", "salt", "budget")
             )
         else:
             selected = unseen

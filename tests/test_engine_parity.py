@@ -304,3 +304,44 @@ def test_robots_parity_fused_callable(spark, corpus, tmp_path):
         r["url_canon"] for r in eng.seen_df().where("status = 999").collect()
     }
     assert blocked, "rules matched nothing"
+
+
+def test_per_host_budget_invariance(spark, corpus, tmp_path):
+    """Per-host politeness budgets (broadcast budgets table; north star:
+    'per-host politeness budgets') reschedule fetches across rounds but
+    cannot change the extraction stream, seen set, or visit order."""
+    _, pages_dict = corpus
+
+    def fetch_fn(urls):
+        return [
+            (pages_dict.get(u), 200 if u in pages_dict else 404) for u in urls
+        ]
+
+    seeds = webgen.seeds_for(N_PAGES, SEED)
+    program = flagship_program(seeds)
+    oracle = spider(program, SnapshotFetcher(pages_dict))
+    budgets = spark.createDataFrame(
+        [(f"h0.site{SEED}.test", 2), (f"h1.site{SEED}.test", 3)],
+        "host string, budget int",
+    )
+    eng = CrawlEngine(
+        spark, None, str(tmp_path / "work"),
+        politeness_k=9, host_budgets=budgets,
+        fetch_mode="callable", fetch_fn=fetch_fn,
+    )
+    summary = eng.run(program, max_rounds=80)
+    assert summary.rounds > 4  # the tight per-host budgets forced rounds
+    assert_parity(oracle, eng)
+    # the hot host really was capped at 2 fetches per round
+    import collections
+    import os
+
+    import pyarrow.parquet as pq
+
+    h0 = f"h0.site{SEED}.test"
+    by_round = collections.defaultdict(int)
+    seen_dir = str(tmp_path / "work" / "seen")
+    for d in os.listdir(seen_dir):
+        t = pq.read_table(os.path.join(seen_dir, d), columns=["host"]).to_pandas()
+        by_round[d] = int((t["host"] == h0).sum())
+    assert max(by_round.values()) <= 2
