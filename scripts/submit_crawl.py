@@ -32,6 +32,7 @@ def main() -> None:
     ap.add_argument("--seed-every", type=int, default=16,
                     help="synthetic seeds: one per this many pages")
     ap.add_argument("--politeness-k", type=int, default=100000)
+    ap.add_argument("--host-budgets", help="CSV file host,budget — per-host politeness budgets")
     ap.add_argument("--max-rounds", type=int, default=32)
     ap.add_argument("--n-buckets", type=int, default=64)
     ap.add_argument("--resume", action="store_true")
@@ -44,6 +45,12 @@ def main() -> None:
 
     spark = get_spark("boris-crawl", master=None)
 
+    budgets = None
+    if args.host_budgets:
+        budgets = spark.read.csv(
+            args.host_budgets, schema="host string, budget int"
+        )
+
     links_q = XpathE("//td[@class='title']/a/@href/text()")
     feat = Extract(PageProfileE())
     if args.synthetic:
@@ -54,6 +61,7 @@ def main() -> None:
             spark, None, args.workdir, fetch_mode="callable",
             fetch_fn=webgen.make_fetcher(n, args.seed, args.weight),
             politeness_k=args.politeness_k, n_buckets=args.n_buckets,
+            host_budgets=budgets,
         )
     else:
         if not args.pages:
@@ -64,6 +72,7 @@ def main() -> None:
         eng = CrawlEngine(
             spark, pages, args.workdir,
             politeness_k=args.politeness_k, n_buckets=args.n_buckets,
+            host_budgets=budgets,
         )
 
     s = eng.run(program, max_rounds=args.max_rounds, resume=args.resume)
