@@ -608,7 +608,18 @@ class CrawlEngine:
             self._round_persists.append(flagged)
             definitely_new = flagged.where(~F.col("maybe_seen")).drop("maybe_seen")
             maybe = flagged.where(F.col("maybe_seen")).drop("maybe_seen")
-            checked = maybe.join(seen_keys, ["url_hash", "url_canon"], "left_anti")
+            # broadcast-driven exact check: the bloom keeps `maybe` small
+            # (true dupes + ~1% false positives of one round's candidates),
+            # so BOTH joins broadcast the small side and the growing seen
+            # table is only ever SCANNED (two slim columns, partition-
+            # prunable) — never shuffled. The naive
+            # maybe.join(seen, left_anti) would re-shuffle all 10^10 seen
+            # keys every round at design scale. url_canon alone is the join
+            # key (url_hash is a pure function of it).
+            matched = seen_keys.select("url_canon").join(
+                F.broadcast(maybe.select("url_canon")), "url_canon", "left_semi"
+            )
+            checked = maybe.join(F.broadcast(matched), "url_canon", "left_anti")
             return definitely_new.unionByName(checked)
         return urls.join(seen_keys, ["url_hash", "url_canon"], "left_anti")
 
