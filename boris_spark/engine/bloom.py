@@ -75,9 +75,10 @@ def might_contain(hashes: np.ndarray, bitset: bytes | None, m_bits: int, k: int)
 class BloomShardStore:
     """Driver-held shard map {bucket: bitset bytes}, folded per round.
 
-    The shard map is shipped to executors by closure capture (equivalent to a
-    broadcast var at this size); at design scale it becomes a broadcast-joined
-    DataFrame keyed by bucket — the membership math is identical.
+    Shipped to executors via ``sparkContext.broadcast`` (re-broadcast per
+    round by the crawler as the shards grow; the previous broadcast is
+    unpersisted) — one torrent-distributed copy per executor, not one copy
+    per task closure.
     """
 
     def __init__(self, n_buckets: int, m_bits: int = 1 << 20, k: int = 5):

@@ -87,6 +87,7 @@ class CrawlEngine:
         fetch_mode: str = "snapshot",  # "snapshot" | "http" | "callable"
         http_timeout: float = 10.0,
         fetch_fn=None,  # callable mode: list[url] -> list[(body, status)]
+        broadcast_seen_limit: int = 2_000_000,  # max `maybe` rows to broadcast
     ):
         self.spark = spark
         self.workdir = workdir
@@ -95,6 +96,8 @@ class CrawlEngine:
         self.salt_parts = salt_parts
         self.use_bloom = use_bloom
         self.bloom = BloomShardStore(n_buckets, bloom_bits) if use_bloom else None
+        self._bloom_bc = None
+        self.broadcast_seen_limit = broadcast_seen_limit
         self.robots = robots_rules
         self.host_budgets = host_budgets
         self.fetch_mode = fetch_mode
@@ -243,6 +246,10 @@ class CrawlEngine:
 
         _mark("requests_shuffle")
         unseen = self._filter_unseen(urls).persist()
+        # handle kept BEFORE any rebinding (robots split below rebinds
+        # `unseen`); without it the cached original leaked for the rest of
+        # the crawl and the rebound, never-persisted frame got unpersisted
+        self._round_persists.append(unseen)
         # urls already in the seen set: their requests proceed without a fetch
         # (cache hits — browser-services.rkt:36-40); computed from in-flight
         # frames, no rescan of the growing seen table
@@ -395,7 +402,6 @@ class CrawlEngine:
 
         requests.unpersist()
         urls.unpersist()
-        unseen.unpersist()
         fetched.unpersist()
         for df in self._round_persists:
             df.unpersist()
@@ -520,7 +526,6 @@ class CrawlEngine:
 
         requests.unpersist()
         urls.unpersist()
-        unseen.unpersist()
         for df in self._round_persists:
             df.unpersist()
         metrics = {
@@ -588,11 +593,18 @@ class CrawlEngine:
             return urls
         seen_keys = seen.select("url_hash", "url_canon")
         if self.bloom is not None and self.bloom.shards:
-            bloom = self.bloom
+            # ship the shard map as a proper broadcast variable, re-broadcast
+            # per round as the shards grow (the closure-capture shortcut
+            # re-serialized the map into every task)
+            if self._bloom_bc is not None:
+                self._bloom_bc.unpersist()
+            self._bloom_bc = self.spark.sparkContext.broadcast(self.bloom)
+            bloom_bc = self._bloom_bc
 
             def flag(batches):
                 import pandas as pd  # noqa: F401
 
+                bloom = bloom_bc.value
                 for pdf in batches:
                     pdf = pdf.copy()
                     pdf["maybe_seen"] = bloom.filter_frame(
@@ -608,18 +620,27 @@ class CrawlEngine:
             self._round_persists.append(flagged)
             definitely_new = flagged.where(~F.col("maybe_seen")).drop("maybe_seen")
             maybe = flagged.where(F.col("maybe_seen")).drop("maybe_seen")
-            # broadcast-driven exact check: the bloom keeps `maybe` small
-            # (true dupes + ~1% false positives of one round's candidates),
-            # so BOTH joins broadcast the small side and the growing seen
-            # table is only ever SCANNED (two slim columns, partition-
-            # prunable) — never shuffled. The naive
-            # maybe.join(seen, left_anti) would re-shuffle all 10^10 seen
-            # keys every round at design scale. url_canon alone is the join
-            # key (url_hash is a pure function of it).
-            matched = seen_keys.select("url_canon").join(
-                F.broadcast(maybe.select("url_canon")), "url_canon", "left_semi"
-            )
-            checked = maybe.join(F.broadcast(matched), "url_canon", "left_anti")
+            # `maybe` holds this round's re-discovered duplicates + bloom
+            # false positives. In a link graph true dupes dominate (hub pages
+            # are re-linked constantly), so `maybe` can be large; the
+            # broadcast-driven exact check (seen table SCANNED, never
+            # shuffled) is only safe below a size cap. Above it, fall back to
+            # the shuffle anti-join — at design scale that path is a
+            # co-partitioned join against the bucket-partitioned seen sink.
+            n_maybe = maybe.count()  # cheap: slim persisted frame
+            if n_maybe <= self.broadcast_seen_limit:
+                # both joins broadcast the small side; the growing seen table
+                # is only ever scanned (two slim columns, partition-prunable).
+                # url_canon alone is the join key (url_hash is a pure
+                # function of it).
+                matched = seen_keys.select("url_canon").join(
+                    F.broadcast(maybe.select("url_canon")), "url_canon", "left_semi"
+                )
+                checked = maybe.join(F.broadcast(matched), "url_canon", "left_anti")
+            else:
+                checked = maybe.join(
+                    seen_keys.select("url_canon"), "url_canon", "left_anti"
+                )
             return definitely_new.unionByName(checked)
         return urls.join(seen_keys, ["url_hash", "url_canon"], "left_anti")
 

