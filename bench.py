@@ -39,7 +39,7 @@ BENCH_QUERIES = [
     "lang_id",
     "quality_score",
     "ann_cosine_topk",
-    "ann_lsh_bucketed",
+    "ann_ivf_topk",
     "events_sessionize",
     "events_sessionize_stream",
     "tpch_q3_revenue",
@@ -153,6 +153,29 @@ def main():
         df.write.mode("overwrite").format("noop").save()
         times[name] = round(time.time() - t0, 3)
 
+    # ANN quality is measured per run, not asserted from vibes: recall@5 of
+    # the IVF scale path vs the brute-force baseline + fraction of the
+    # corpus each query actually scanned
+    from boris_spark.ops.queries import (
+        ann_cosine_topk, ann_ivf_candidates, ann_ivf_topk,
+    )
+
+    exact = {
+        (r["q_id"], r["neighbor_id"])
+        for r in ann_cosine_topk(spark, sf_dir).collect()
+    }
+    approx = {
+        (r["q_id"], r["neighbor_id"])
+        for r in ann_ivf_topk(spark, sf_dir).collect()
+    }
+    n_vecs = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).count()
+    ann = {
+        "recall_at_5": round(len(exact & approx) / max(1, len(exact)), 3),
+        "probed_fraction": round(
+            ann_ivf_candidates(spark, sf_dir).count() / (10 * n_vecs), 4
+        ),
+    }
+
     total = round(time.time() - t_total, 2)
     out = {
         "metric": "crawl+query suite wall (crawl.urls_per_sec is the headline crawl rate)",
@@ -162,6 +185,7 @@ def main():
         "sf": sf_dir.rstrip("/").split("sf")[-1],
         "cpus": cpus,
         "crawl": crawl,
+        "ann": ann,
     }
     print(json.dumps(out))
     spark.stop()

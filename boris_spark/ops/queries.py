@@ -789,7 +789,7 @@ def dedup_embedding_cosine(spark, sf_dir, block_rows: int = 512):
     one applyInPandas task per block pair computes the normalized A·Bᵀ with
     BLAS. Shuffle volume is n_vectors × n_blocks rows — the inherent cost of
     exact all-pairs; at 10^8+ vectors ``block_rows`` rises to ~10^5-10^6 and
-    LSH candidates (ann_lsh_bucketed) prune block pairs first. No driver
+    IVF cells (ann_ivf_topk) prune block pairs first. No driver
     collect of vector data anywhere in the plan (round-1 defect: the whole
     table was toPandas()'d and broadcast)."""
     import numpy as np
@@ -848,55 +848,103 @@ def dedup_embedding_cosine(spark, sf_dir, block_rows: int = 512):
     )
 
 
-@q("ann_lsh_bucketed")  # no SQL oracle: approximate recall — rows-only check
-def ann_lsh_bucketed(spark, sf_dir):
-    """Scale path for ANN: random-hyperplane LSH (8 deterministic
-    xxhash-sign hyperplanes → 256 buckets) with Hamming-1 multiprobe; cosine
-    runs only within probed buckets, so the big side is never cross-joined.
-    Approximate (recall < 1) — measured against the brute-force baseline in
-    pytest, rows-only-checked by the driver."""
-    from ..kernel import xxh64_str
+def _spherical_kmeans(M, k: int, iters: int = 20):
+    """Deterministic spherical k-means on row-normalized vectors:
+    farthest-point init seeded at row 0, fixed iteration count — no RNG, so
+    the index (and the gate's row set) is reproducible anywhere."""
+    import numpy as np
 
-    dim = 64
-    n_planes = 4
-    planes = [
-        [1.0 if xxh64_str(f"{j}:{i}") % 2 == 0 else -1.0 for i in range(dim)]
-        for j in range(n_planes)
-    ]
+    k = min(k, len(M))
+    C = [M[0]]
+    d = 1.0 - M @ C[0]
+    for _ in range(k - 1):
+        i = int(np.argmax(d))
+        C.append(M[i])
+        d = np.minimum(d, 1.0 - M @ C[-1])
+    C = np.array(C)
+    for _ in range(iters):
+        a = np.argmax(M @ C.T, axis=1)
+        for j in range(k):
+            m = a == j
+            if m.any():
+                v = M[m].mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    C[j] = v / n
+    return C
+
+
+def ann_ivf_candidates(spark, sf_dir, k_clusters=64, nprobe=6, train_cap=16384):
+    """IVF candidate set: (q_id, qv, vec_id, v) rows for corpus vectors in
+    each query's nprobe closest coarse cells. Shared by the top-k query and
+    the recall/probed-fraction measurement in bench + pytest."""
+    import numpy as np
+
     e = T(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
-    sig = None
-    for j, p in enumerate(planes):
-        dot = F.aggregate(
-            F.zip_with(F.col("v"), F.array(*[F.lit(x) for x in p]), lambda a, b: a * b),
-            F.lit(0.0), lambda acc, x: acc + x,
-        )
-        bit = F.when(dot > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
-        term = F.shiftleft(bit, j)
-        sig = term if sig is None else sig + term
-    eb = e.withColumn("bucket", sig)
-    # multiprobe: each query probes its own bucket plus all Hamming ≤ 2
-    # neighbors (flip one or two plane bits) — recall without widening the
-    # join. On a clustered 10^8-vector corpus the plane count rises and the
-    # probe radius drops; the plan shape is unchanged.
-    flips = [0] + [1 << i for i in range(n_planes)] + [
-        (1 << a) | (1 << b) for a in range(n_planes) for b in range(a + 1, n_planes)
+    # coarse-quantizer training on a BOUNDED deterministic sample (first
+    # train_cap vec_ids) — the FAISS-style IVF recipe; at 10^10 vectors the
+    # sample stays the same size, so this collect is O(train_cap·dim), never
+    # O(corpus)
+    tr = e.orderBy("vec_id").limit(train_cap).toPandas()
+    Mt = np.array(tr["v"].tolist(), dtype=np.float64)
+    Mt /= np.linalg.norm(Mt, axis=1, keepdims=True)
+    C = _spherical_kmeans(Mt, k_clusters)
+    bc = spark.sparkContext.broadcast(C)
+
+    def assign(batches):
+        import pandas as pd
+
+        Cb = bc.value
+        for pdf in batches:
+            M = np.array(pdf["v"].tolist(), dtype=np.float64)
+            M /= np.linalg.norm(M, axis=1, keepdims=True)
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"],
+                "v": pdf["v"],
+                "cluster": np.argmax(M @ Cb.T, axis=1),
+            })
+
+    assigned = e.mapInPandas(assign, "vec_id long, v array<double>, cluster int")
+
+    # query side: ten vectors — their nprobe closest centroids computed
+    # driver-side (10×k dot products), shipped as a tiny broadcast frame
+    qp = e.where(F.col("vec_id") < 10).toPandas()
+    Mq = np.array(qp["v"].tolist(), dtype=np.float64)
+    Mqn = Mq / np.linalg.norm(Mq, axis=1, keepdims=True)
+    order = np.argsort(-(Mqn @ C.T), axis=1)[:, :nprobe]
+    probes = [
+        (int(q), list(map(float, v)), int(c))
+        for q, v, row in zip(qp["vec_id"], qp["v"], order)
+        for c in row
     ]
-    probes = F.array(*[F.col("bucket").bitwiseXOR(x) for x in flips])
-    qs = (
-        eb.where(F.col("vec_id") < 10)
-        .select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
-                F.explode(probes).alias("bucket"))
+    probes_df = spark.createDataFrame(
+        probes, "q_id long, qv array<double>, cluster int"
     )
-    sims = (
-        eb.join(F.broadcast(qs), "bucket")
-        .where(F.col("q_id") != F.col("vec_id"))
-        .dropDuplicates(["q_id", "vec_id"])
-        .select(
-            "q_id", F.col("vec_id").alias("neighbor_id"),
-            F.round(_cosine(F.col("qv"), F.col("v")), 4).alias("sim"),
-        )
+    return assigned.join(F.broadcast(probes_df), "cluster").where(
+        F.col("q_id") != F.col("vec_id")
+    )
+
+
+@q("ann_ivf_topk")  # no SQL oracle: approximate — recall measured in pytest+bench
+def ann_ivf_topk(spark, sf_dir):
+    """Scale path for ANN: IVF (inverted-file) index — deterministic
+    spherical k-means coarse quantizer trained on a bounded sample,
+    centroids broadcast, one mapInPandas GEMM pass assigns every vector to
+    its cell, and each query scans only its nprobe closest cells (~9% of the
+    corpus at K=64/nprobe=6; measured per run). The big side is never
+    cross-joined and never shuffled — candidates flow through one broadcast
+    join on cluster id. Replaces round 1's hyperplane-LSH variant, whose
+    honest parameters probed ~69% of the corpus; on this near-isotropic test
+    corpus multiprobe LSH at <10% probes measures ~3% recall while IVF
+    measures ~0.5-0.65 (and ≥0.9 on clustered corpora — both numbers pinned
+    in tests/test_entry_queries.py and BENCH/BASELINE.md; at 10^10 scale the
+    assignment pass is a materialized index table, not a per-query job)."""
+    cand = ann_ivf_candidates(spark, sf_dir)
+    sims = cand.select(
+        "q_id", F.col("vec_id").alias("neighbor_id"),
+        F.round(_cosine(F.col("qv"), F.col("v")), 4).alias("sim"),
     )
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), "neighbor_id")
     return (
@@ -991,23 +1039,23 @@ def tpch_q3_revenue(spark, sf_dir):
     """,
 )
 def events_sessionize_stream(spark, sf_dir):
-    """Structured-Streaming sessionization (session_window + watermark) run
-    to completion with Trigger.AvailableNow over the events table — the
-    streaming plan, batch-verified against the gap-based SQL oracle.
-    session_window end = last event + gap, matching the oracle's
-    max(ts) + 30min."""
+    """Structured-Streaming sessionization (session_window + watermark) in
+    APPEND mode drained with Trigger.AvailableNow: each session row is
+    emitted exactly once when the watermark passes its end and its state is
+    evicted (bounded state — the 100 TB form; round 1 used complete-mode +
+    memory sink, which retains all sessions forever). Batch-verified against
+    the gap-based SQL oracle: session_window end = last event + gap =
+    the oracle's max(ts) + 30min."""
     import tempfile
 
-    from ..streaming.sessionize import run_available_now, stream_sessionize
+    from ..streaming.sessionize import run_sessionize_append
 
-    sdf = stream_sessionize(
-        spark, sf_dir, glob="events.parquet",
+    return run_sessionize_append(
+        spark, sf_dir, tempfile.mkdtemp(prefix="boris_stream_"),
+        glob="events.parquet",
         schema="event_id bigint, ts timestamp, user_id bigint, "
                "event_type string, value double, props string",
     )
-    name = "events_sessions_stream"
-    run_available_now(sdf, tempfile.mkdtemp(prefix="boris_stream_ckpt_"), name)
-    return spark.table(name)
 
 
 @q(
@@ -1077,22 +1125,69 @@ def media_metadata(spark, sf_dir):
     )
 
 
-@q("media_features")  # rows-only: numpy entropy over the fake-decoded array
+_MEDIA_FEATURES_SQL = """
+WITH b AS (
+    SELECT doc_id, ('0x' || substr(md5(text), 2*i.i+1, 2))::INT AS v
+    FROM documents, (SELECT UNNEST(range(0, 16)) AS i) i
+),
+h AS (SELECT doc_id, v, count(*)::DOUBLE / 16 AS p FROM b GROUP BY doc_id, v),
+e AS (SELECT doc_id, -sum(p * log2(p)) AS entropy FROM h GROUP BY doc_id),
+m AS (SELECT doc_id, avg(v) AS mean_val FROM b GROUP BY doc_id)
+SELECT d.doc_id AS media_id,
+       CASE d.doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS kind,
+       CAST(1024 AS BIGINT) AS n_bytes,
+       round(m.mean_val, 6) AS mean_val,
+       round(e.entropy, 6) AS entropy
+FROM documents d JOIN m ON m.doc_id = d.doc_id JOIN e ON e.doc_id = d.doc_id
+"""
+
+
+@q("media_features", _MEDIA_FEATURES_SQL)
 def media_features(spark, sf_dir):
     """Decode + feature-extract per blob in mapInPandas batches (mean byte
-    value, byte entropy) — the decode is a deterministic stub; the Arrow
-    batch shape and partitioning are the real pipeline's."""
+    value, byte entropy) — the decode is a deterministic stub (md5 bytes
+    tiled 64×), which makes the features closed-form: the oracle recomputes
+    mean/entropy over the 16 md5 bytes in SQL (tiling preserves both). The
+    Arrow batch shape and partitioning are the real pipeline's."""
     from .multimodal import MEDIA_FEATURES_SCHEMA, make_media_df, media_features_fn
 
     return make_media_df(spark, sf_dir).mapInPandas(
         media_features_fn, MEDIA_FEATURES_SCHEMA
+    ).select(
+        "media_id", "kind", "n_bytes",
+        F.round("mean_val", 6).alias("mean_val"),
+        F.round("entropy", 6).alias("entropy"),
     )
 
 
-@q("media_frame_sample")  # rows-only: per-frame fan-out inside the UDF
+_FRAME_SAMPLE_SQL = """
+WITH v AS (
+    SELECT doc_id, md5(text) AS h, (doc_id % 24) + 1 AS n_frames
+    FROM documents WHERE doc_id % 3 = 2
+),
+fr AS (
+    SELECT doc_id, h, n_frames, 1024 // n_frames AS per,
+           UNNEST(range(0, n_frames, 4)) AS f
+    FROM v
+),
+pos AS (
+    SELECT doc_id, h, f, UNNEST(range(f * per, (f + 1) * per)) AS p FROM fr
+)
+SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_no,
+       round(avg(('0x' || substr(h, 2 * (p % 16) + 1, 2))::INT), 6) AS frame_mean
+FROM pos GROUP BY doc_id, f
+"""
+
+
+@q("media_frame_sample", _FRAME_SAMPLE_SQL)
 def media_frame_sample(spark, sf_dir):
-    """Frame sampling of 'video' blobs: one output row per sampled frame."""
+    """Frame sampling of 'video' blobs: one output row per sampled frame
+    (fan-out inside the Arrow batch). The stub decode makes each frame's
+    byte-slice closed-form, so the per-frame mean is SQL-oracled."""
     from .multimodal import FRAME_SCHEMA, frame_sample_fn, make_media_df
 
     m = make_media_df(spark, sf_dir).where(F.col("kind") == "video")
-    return m.mapInPandas(frame_sample_fn(every=4), FRAME_SCHEMA)
+    return m.mapInPandas(frame_sample_fn(every=4), FRAME_SCHEMA).select(
+        "media_id", "frame_no", F.round("frame_mean", 6).alias("frame_mean")
+    )

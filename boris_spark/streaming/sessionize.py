@@ -3,19 +3,30 @@ batch ``events_sessionize`` query (ops/queries.py).
 
 A continuously-arriving event log (file source here; Kafka at deploy) is
 grouped into per-user activity sessions with ``session_window`` — Spark's
-native stateful session operator — under an event-time watermark so late
-events merge into (or extend) their session until the watermark passes, then
-state is evicted. All aggregation is built-in (no Python in the stream).
+native stateful session operator — under an event-time watermark, in APPEND
+mode: a session row is emitted exactly once, when the watermark passes its
+end, and its state is evicted. State is therefore bounded by the watermark
+horizon (the 100 TB form); ``complete`` mode — which retains every session
+ever seen in the state store — appears nowhere in the production path.
 
-At 100 TB the shape holds: state is partitioned by user_id (the groupBy
-key), watermark bounds state size, and the sink is an append-only table of
-closed sessions.
+Draining a finite file source with Trigger.AvailableNow under append mode
+needs the watermark to advance PAST the last real session before the query
+terminates; :func:`run_sessionize_append` stages the source files plus one
+far-future sentinel event (processed last via file modification order +
+maxFilesPerTrigger=1), so every real session closes, appends to the parquet
+sink, and the sentinel's own session is the only state left behind.
 """
 
 from __future__ import annotations
 
+import datetime as dt
+import glob as globmod
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 EVENTS_SCHEMA = (
     "event_id bigint, ts timestamp, user_id bigint, event_type string, "
@@ -30,14 +41,17 @@ def stream_sessionize(
     watermark: str = "2 hours",
     schema: str = EVENTS_SCHEMA,
     glob: str | None = None,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
-    """Streaming DataFrame of closed sessions:
+    """Streaming DataFrame of sessions:
     (user_id, session_start, session_end, n_events). *glob* restricts the
-    file source to matching files (the file stream source requires a
-    directory path)."""
+    file source to matching files; *max_files_per_trigger* splits the drain
+    into per-file micro-batches so the watermark advances between them."""
     reader = spark.readStream.schema(schema)
     if glob:
         reader = reader.option("pathGlobFilter", glob)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     events = reader.parquet(source_dir).withWatermark("ts", watermark)
     return (
         events.groupBy(
@@ -53,17 +67,72 @@ def stream_sessionize(
     )
 
 
-def run_available_now(stream_df: DataFrame, checkpoint: str, table_name: str):
-    """Drain everything currently available (Trigger.AvailableNow) into an
-    in-memory sink; returns the finished query. The same writeStream with a
-    parquet/Iceberg sink + trigger(processingTime=...) is the deploy form."""
+SENTINEL_USER = -1
+
+
+def run_sessionize_append(
+    spark: SparkSession,
+    source_dir: str,
+    workdir: str,
+    glob: str = "*.parquet",
+    schema: str = EVENTS_SCHEMA,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Append-mode drain of a finite event log; returns the closed-session
+    table read back from the parquet sink (sentinel excluded).
+
+    Stages the matching source files into ``workdir/src`` with pinned
+    modification times, then one sentinel event 30 days past the newest
+    real event (later mtime ⇒ processed in a later micro-batch under
+    maxFilesPerTrigger=1). After the sentinel batch the watermark exceeds
+    every real session's end, so the final (no-data) micro-batch flushes
+    them all to the sink before AvailableNow terminates."""
+    src = os.path.join(workdir, "src")
+    os.makedirs(src, exist_ok=True)
+
+    batch = spark.read.schema(schema).option("pathGlobFilter", glob).parquet(source_dir)
+    max_ts = batch.agg(F.max("ts")).first()[0]
+
+    files = []
+    for p in sorted(globmod.glob(os.path.join(source_dir, glob))):
+        if os.path.isdir(p):
+            files += sorted(
+                os.path.join(p, f) for f in os.listdir(p) if f.endswith(".parquet")
+            )
+        else:
+            files.append(p)
+    for i, p in enumerate(files):
+        dst = os.path.join(src, f"real-{i:05d}.parquet")
+        shutil.copy(p, dst)
+        os.utime(dst, (1_000_000, 1_000_000))
+
+    st = StructType.fromDDL(schema)
+    row = tuple(
+        (max_ts + dt.timedelta(days=30)) if f.name == "ts"
+        else SENTINEL_USER if f.name == "user_id"
+        else None
+        for f in st.fields
+    )
+    stmp = os.path.join(workdir, "sentinel_tmp")
+    spark.createDataFrame([row], st).coalesce(1).write.mode("overwrite").parquet(stmp)
+    part = next(f for f in os.listdir(stmp) if f.endswith(".parquet"))
+    dst = os.path.join(src, "zz-sentinel.parquet")
+    shutil.copy(os.path.join(stmp, part), dst)
+    os.utime(dst, (2_000_000, 2_000_000))
+
+    sdf = stream_sessionize(
+        spark, src, gap=gap, watermark=watermark, schema=schema,
+        max_files_per_trigger=1,
+    )
+    out = os.path.join(workdir, "out")
     q = (
-        stream_df.writeStream.format("memory")
-        .queryName(table_name)
-        .outputMode("complete")
-        .option("checkpointLocation", checkpoint)
+        sdf.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
-    return q
+    q.awaitTermination(600)
+    return spark.read.parquet(out).where(F.col("user_id") != SENTINEL_USER)
