@@ -168,6 +168,14 @@ class CrawlEngine:
 
     def run(self, root: P.Node, max_rounds: int = 1000, resume: bool = False) -> CrawlSummary:
         t0 = time.time()
+        self._tmp_sink_paths: list[str] = []
+        # leftover transients from a killed run are junk (the durable sinks
+        # and manifests are the resume state)
+        tmp_root = self._path("cascade_tmp")
+        if os.path.isdir(tmp_root):
+            import shutil
+
+            shutil.rmtree(tmp_root, ignore_errors=True)
         self.node_table = compile_program(root)
         self._cascade_fn = make_cascade_fn(self.node_table)
         self._fanout_fn = make_cascade_fn(self.node_table, fanout=True)
@@ -192,6 +200,7 @@ class CrawlEngine:
             )
             requests, n_init_results, _ = self._cascade(init, rnd=0)
             self._checkpoint_frontier(requests, 0)
+            self._drop_tmp_sinks()
         rnd = start_round
         total_fetched = 0
         total_results = 0
@@ -405,6 +414,7 @@ class CrawlEngine:
         fetched.unpersist()
         for df in self._round_persists:
             df.unpersist()
+        self._drop_tmp_sinks()
         metrics = {
             "fetched": n_fetched,
             "results": n_results,
@@ -420,11 +430,18 @@ class CrawlEngine:
         self, requests, urls, unseen, seen_hits, blocked, selected,
         rnd, _mark, _marks,
     ):
-        """Callable-mode round middle: fetch+extract fused into ONE
-        mapInPandas stage; every JVM-side frame in the round is slim (keys
-        and metadata only) — page bodies exist only inside the Python
-        workers and only extracted values, discovered links, and per-url
-        statuses come back."""
+        """Callable-mode round middle. FRESH urls run through the fused
+        fetch+extract mapInPandas stage (fetch_fn called exactly once per
+        url per crawl); their bodies come back once on the ``fetched`` rows
+        and persist to the store sink — the crash-resumable page cache.
+        CACHE-HIT traversals (urls fetched in an earlier round, or
+        robots-blocked replays) never reach fetch_fn: their bodies join in
+        from the store and they evaluate through the ordinary fan-out
+        cascade — the memoized replay of browser-services.rkt:36-40, correct
+        for live/non-deterministic fetchers (round 1 re-fetched cache hits,
+        bypassing the politeness budget). All routing frames are slim; body
+        bytes flow fetch→Arrow→store once and store→Arrow once per replaying
+        round."""
         decided = selected.select(
             "url_canon", F.lit(True).alias("_fresh"), F.lit(False).alias("_blk")
         ).unionByName(
@@ -463,25 +480,70 @@ class CrawlEngine:
                 )
         _mark("route")
 
+        fresh = ok.where(F.col("_fresh"))
+        replay = ok.where(~F.col("_fresh"))
+
         # sortWithinPartitions keeps all paths of one url consecutive, so
         # the fused stage's eval memo is O(1): one fetch + one node eval per
         # (url, pc, bindings), replayed for every further path (JVM-side
         # sort of slim rows, no shuffle)
         out1 = (
-            ok.select(*_REQ_COLS, "_fresh", "_blk")
+            fresh.select(*_REQ_COLS)
             .sortWithinPartitions("url_canon", "pc", "bindings")
             .mapInPandas(self._fused_fn, CASCADE_SCHEMA)
         )
+        # cache-hit replay: bodies join in from the store sink (missing →
+        # empty body: a url seen but never stored, e.g. robots-blocked),
+        # then the ordinary fan-out cascade evaluates them — identical
+        # semantics to a fresh fetch because fetch memoization replays the
+        # SAME response per url (browser-services.rkt:36-40)
+        body_src = self._body_source()
+        replay_b = replay.join(body_src, "url_canon", "left")
+        body_col = F.when(F.col("_blk"), F.lit("")).otherwise(
+            F.coalesce("body", F.lit(""))
+        )
+        apply0_cols = [
+            "pc",
+            F.col("url_canon").alias("cur_url"),
+            F.col("url_full").alias("cur_full"),
+            "bindings",
+            "path_key",
+            body_col.alias("body"),
+            "method",
+        ]
+        if "head" in replay_b.columns:
+            apply0_cols.append(
+                F.when(F.col("_blk"), F.lit(None)).otherwise(F.col("head")).alias("head")
+            )
+        out1b = (
+            replay_b.select(*apply0_cols)
+            .sortWithinPartitions("cur_url", "pc", "bindings")
+            .mapInPandas(self._fanout_fn, CASCADE_SCHEMA)
+        )
         new_requests, n_results, gen_paths = self._cascade(
-            None, rnd + 1, first_out=out1
+            None, rnd + 1, first_out=out1.unionByName(out1b)
         )
         _mark("fused_cascade")
+
+        # persist this round's fetched bodies to the store sink (the page
+        # cache future rounds replay from); one row per url
+        fetched_rows = self.spark.read.parquet(gen_paths[0]).where(
+            F.col("kind") == "fetched"
+        )
+        self._append(
+            fetched_rows.groupBy("url_canon").agg(
+                F.first("body").alias("body"),
+                F.min("status").alias("status"),
+                F.first("head").alias("head"),
+            ),
+            "store", rnd,
+        )
+        _mark("store_write")
 
         # the round's seen delta, aggregated from the fused stage's per-batch
         # 'fetched' emissions (column-pruned read of the gen-1 snapshot)
         seen_delta = (
-            self.spark.read.parquet(gen_paths[0])
-            .where(F.col("kind") == "fetched")
+            fetched_rows
             .groupBy("url_canon")
             .agg(
                 F.first("url_hash").alias("url_hash"),
@@ -528,6 +590,7 @@ class CrawlEngine:
         urls.unpersist()
         for df in self._round_persists:
             df.unpersist()
+        self._drop_tmp_sinks()
         metrics = {
             "fetched": n_fetched,
             "results": n_results,
@@ -652,13 +715,17 @@ class CrawlEngine:
         first_out: DataFrame | None = None,
     ):
         """Evaluate non-fetch generations to fixpoint. Each generation is
-        materialized ONCE as a parquet snapshot (sink ``cascade``,
-        round-key ``rnd*1000+gen``); every consumer — results stream,
-        discovered requests, next generation's apply rows, the fused seen
-        delta — reads it back column-pruned, so the multi-KB extraction
-        values are written once and never pass through the block cache or
-        an extra shuffle. Generation row counts come from the parquet
-        kind-column statistics driver-side (no Spark jobs)."""
+        materialized ONCE, into the TRANSIENT sink ``cascade_tmp`` (full
+        union schema including apply/fetched rows, which carry page bodies);
+        the durable ``cascade`` sink receives a column-pruned copy of the
+        result/request/download rows only — no body or head columns — so
+        body bytes never accumulate in the permanent sink that
+        ``results_df`` rescans (programs with let/for/label/recur previously
+        rewrote bodies to the durable sink once per generation). Transient
+        dirs are deleted at the end of the round (``_drop_tmp_sinks``), after
+        the seen/store deltas and the frontier checkpoint consumed them.
+        Generation row counts come from the parquet kind-column statistics
+        driver-side (no Spark jobs)."""
         import time as _t
         requests_acc = self._empty(REQUEST_SCHEMA)
         n_results = 0
@@ -688,14 +755,22 @@ class CrawlEngine:
                     CASCADE_SCHEMA,
                 )
             key = rnd * 1000 + gen
-            self._append(out_raw, "cascade", key)
-            path = self._path("cascade", f"round={key}")
+            path = self._path("cascade_tmp", f"round={key}")
+            out_raw.write.mode("overwrite").parquet(path)
+            self._tmp_sink_paths.append(path)
             gen_paths.append(path)
             kinds = self._pq_read(path, columns=["kind"])["kind"].value_counts()
             n_results += int(kinds.get("result", 0))
             if os.environ.get("BORIS_TIMING"):
                 print(f"  cascade gen{gen}: eval+write={_t.time()-_g1:.2f} kinds={dict(kinds)}")
             cas = self.spark.read.parquet(path)
+            if any(kinds.get(k, 0) for k in ("result", "request", "download")):
+                self._append(
+                    cas.where(
+                        F.col("kind").isin("result", "request", "download")
+                    ).drop("body", "head"),
+                    "cascade", key,
+                )
             requests_acc = requests_acc.unionByName(
                 cas.where(F.col("kind") == "request").select(*_REQ_COLS)
             )
@@ -732,6 +807,16 @@ class CrawlEngine:
             .write.mode("overwrite")
             .parquet(self._path("frontier", f"round={rnd}"))
         )
+
+    def _drop_tmp_sinks(self) -> None:
+        """Delete the round's transient cascade generations (the only sink
+        that holds body bytes besides the store); called after every
+        consumer of them has executed."""
+        import shutil
+
+        for p in self._tmp_sink_paths:
+            shutil.rmtree(p, ignore_errors=True)
+        self._tmp_sink_paths.clear()
 
     def _write_manifest(self, rnd: int, metrics: dict) -> None:
         os.makedirs(self._path("rounds"), exist_ok=True)

@@ -219,61 +219,57 @@ def _eval_memo(
 def make_fused_fn(node_table: dict[int, NodeSpec], fetch_fn):
     """Fused fetch+extract: ONE mapInPandas stage per crawl round.
 
-    Input rows are routed request rows (REQUEST cols + ``_fresh`` +
-    ``_blk``); ``fetch_fn(urls: list[str]) -> list[(body, status)]`` is the
-    pluggable fetcher (the reference's swappable request service,
+    Input rows are the round's FRESH request rows only (REQUEST cols) —
+    cache hits and robots-blocked replays take the store-sink replay path in
+    the crawler instead (they never reach fetch_fn, so a live fetcher is
+    called exactly once per url per crawl and the per-host politeness budget
+    is never bypassed — the memoized replay of browser-services.rkt:36-40).
+    ``fetch_fn(urls: list[str]) -> list[(body, status)]`` is the pluggable
+    fetcher (the reference's swappable request service,
     /root/reference/boris/interpreter/services.rkt:14-15) — a deterministic
     closed-form page function in the bench, a live HTTP batch fetcher at
-    deploy. Page bodies are materialized INSIDE the Python worker, evaluated
-    (fan-out to the navigate node's children), and only extracted values +
-    discovered links + per-url fetch statuses return to the JVM — body bytes
-    never cross the Arrow boundary, never shuffle, never hit the block cache
-    (the invariant that matters at 100 TB).
+    deploy. Page bodies are materialized INSIDE the Python worker and
+    evaluated there (fan-out to the navigate node's children); each body
+    crosses the Arrow boundary exactly once, on the ``kind='fetched'`` row
+    that the crawler persists to the store sink (the crash-resumable page
+    cache that also feeds cache-hit replays), and bodies never enter a
+    shuffle or the block cache.
 
-    Emits one ``kind='fetched'`` row per distinct fresh url per batch
-    (status in ``value``, min batch path in ``path_key``); the JVM
-    aggregates batches into the round's seen delta. Cache-hit traversals
-    (``_fresh`` false) re-materialize the body without emitting a fetch —
-    the memoized replay of browser-services.rkt:36-40."""
+    Emits one ``kind='fetched'`` row per distinct url per batch (body +
+    status + head, min batch path in ``path_key``); the JVM aggregates
+    batches into the round's seen delta + store delta."""
 
     def fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         memo: dict = {}
         memo_url = None
         for pdf in batches:
             out: list[dict] = []
-            blks = [bool(b) and b == b for b in pdf["_blk"]]
-            need = sorted(
-                {u for u, b in zip(pdf["url_canon"], blks) if not b}
-            )
+            need = sorted(set(pdf["url_canon"]))
             # fetch_fn returns (body, status) — file-style empty head — or
             # (body, status, head) with head = (status line, header alist)
             fetched = dict(zip(need, fetch_fn(need))) if need else {}
             emitted: dict[str, int] = {}
-            for pc, url, url_full, url_hash, host, bindings_json, path, fresh, blk, method in zip(
+            for pc, url, url_full, url_hash, host, bindings_json, path, method in zip(
                 pdf["pc"], pdf["url_canon"], pdf["url_full"], pdf["url_hash"],
-                pdf["host"], pdf["bindings"], pdf["path_key"], pdf["_fresh"], blks,
-                pdf["method"],
+                pdf["host"], pdf["bindings"], pdf["path_key"], pdf["method"],
             ):
-                head = None
-                if blk:
-                    body, status = "", 999
-                else:
-                    resp = fetched.get(url, ("", 404))
-                    body, status = resp[0], resp[1]
-                    head = resp[2] if len(resp) > 2 else None
-                    if body is None:
-                        body = ""
+                resp = fetched.get(url, ("", 404))
+                body, status = resp[0], resp[1]
+                head = resp[2] if len(resp) > 2 else None
+                if body is None:
+                    body = ""
                 path = path or ""
-                if bool(fresh) and fresh == fresh and not blk:
-                    i = emitted.get(url)
-                    if i is None:
-                        emitted[url] = len(out)
-                        out.append(_out_row(
-                            "fetched", url_canon=url, url_hash=url_hash,
-                            host=host, path_key=path, status=int(status),
-                        ))
-                    elif path < out[i]["path_key"]:
-                        out[i]["path_key"] = path
+                i = emitted.get(url)
+                if i is None:
+                    emitted[url] = len(out)
+                    out.append(_out_row(
+                        "fetched", url_canon=url, url_hash=url_hash,
+                        host=host, path_key=path, status=int(status),
+                        body=body,
+                        head=json.dumps(list(head)) if head is not None else None,
+                    ))
+                elif path < out[i]["path_key"]:
+                    out[i]["path_key"] = path
                 bindings_json = (
                     bindings_json if isinstance(bindings_json, str) else None
                 )
