@@ -17,6 +17,8 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from boris_spark.ops import queries as Q  # noqa: E402
+from boris_spark.ops import crawl2 as _crawl2  # noqa: E402,F401 — registers gates
+from boris_spark.ops import kernel_gates as _kg  # noqa: E402,F401 — registers gates
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -244,13 +244,17 @@ class CrawlEngine:
         requests = requests.repartition(n_part, "url_canon").persist()
 
         # one fetch candidate per distinct url, priority = lex-min path_key
+        # url_hash/host are pure functions of url_canon (any row works);
+        # url_full/method/payload belong to the DFS-min request — min_by on
+        # the path key makes the fetch's request deterministic when e.g. a
+        # GET link and a POST form target the same url in one round
         urls = requests.groupBy("url_canon").agg(
             F.min("path_key").alias("pk"),
             F.first("url_hash").alias("url_hash"),
             F.first("host").alias("host"),
-            F.first("url_full").alias("url_full"),
-            F.first("method").alias("method"),
-            F.first("payload").alias("payload"),
+            F.min_by("url_full", "path_key").alias("url_full"),
+            F.min_by("method", "path_key").alias("method"),
+            F.min_by("payload", "path_key").alias("payload"),
         ).persist()
 
         _mark("requests_shuffle")
@@ -848,10 +852,10 @@ class CrawlEngine:
     def results_df(self) -> DataFrame:
         df = self._read_sink("cascade")
         if df is None:
-            return self._empty("path_key string, value string, vkind string")
+            return self._empty("path_key string, value string, vkind string, pc long")
         return (
             df.where(F.col("kind") == "result")
-            .select("path_key", "value", "vkind")
+            .select("path_key", "value", "vkind", "pc")
             .orderBy("path_key")
         )
 

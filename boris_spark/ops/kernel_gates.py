@@ -1,0 +1,208 @@
+"""Kernel-function gates: each selector/codec kernel op as a distributed
+query with a closed-form SQL oracle (the pattern proven by
+``url_canonicalize``): inputs are synthesized JVM-side from `orders`
+columns, the kernel runs in an Arrow-batched mapInPandas, and the oracle
+reconstructs the expected output with plain string SQL.
+
+Covers SURVEY.md §2d-§2e ops 26-29 and 36-37 — links (BFS ordering quirk,
+links.rkt:33-35), links/text (links.rkt:37-43), html-decode/[*] (4-entity
+table + fixpoint, html-entities.rkt:28-47), header codecs (title-casing,
+head.rkt:60-66) and the RFC6265-subset cookie jar (fold + longest-path-first
+match + header render, cookies.rkt:71-124, head.rkt:87-92).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .queries import T, q
+
+
+def _orders_keyed(spark, sf_dir):
+    return T(spark, sf_dir, "orders").select("o_orderkey")
+
+
+@q(
+    "links_extract",
+    """
+    SELECT o_orderkey, CAST(0 AS INTEGER) AS idx,
+           '/shallow/' || o_orderkey AS href FROM orders
+    UNION ALL
+    SELECT o_orderkey, CAST(1 AS INTEGER) AS idx,
+           '/deep/' || o_orderkey FROM orders
+    """,
+)
+def links_extract(spark, sf_dir):
+    """``links`` gate: the DEEP anchor comes FIRST in document order, but
+    links returns BFS order (shallow first) — the reference's ordering quirk
+    (links.rkt:33-35, pinned by the '("fee" "foo") golden)."""
+    from ..kernel import links
+
+    o = _orders_keyed(spark, sf_dir).select(
+        "o_orderkey",
+        F.concat(
+            F.lit("<html><body><table><tr><td><a href='/deep/"),
+            F.col("o_orderkey").cast("string"),
+            F.lit("'>d</a></td></tr></table><a href='/shallow/"),
+            F.col("o_orderkey").cast("string"),
+            F.lit("'>s</a></body></html>"),
+        ).alias("html"),
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = [
+                {"o_orderkey": k, "idx": i, "href": u}
+                for k, h in zip(pdf["o_orderkey"], pdf["html"])
+                for i, u in enumerate(links(h))
+            ]
+            yield pd.DataFrame(rows, columns=["o_orderkey", "idx", "href"])
+
+    return o.mapInPandas(run, "o_orderkey long, idx int, href string")
+
+
+@q(
+    "links_text_extract",
+    "SELECT o_orderkey, '/buy/' || o_orderkey AS href FROM orders",
+)
+def links_text_extract(spark, sf_dir):
+    """``links/text`` gate: hrefs of anchors whose TEXT matches the regex
+    (links.rkt:37-43) — only the 'buy …' anchor survives."""
+    from ..kernel import links_text
+
+    o = _orders_keyed(spark, sf_dir).select(
+        "o_orderkey",
+        F.concat(
+            F.lit("<html><body><td><a href='/buy/"),
+            F.col("o_orderkey").cast("string"),
+            F.lit("'>buy "), F.col("o_orderkey").cast("string"),
+            F.lit("</a></td><td><a href='/info/"),
+            F.col("o_orderkey").cast("string"),
+            F.lit("'>info</a></td></body></html>"),
+        ).alias("html"),
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = [
+                {"o_orderkey": k, "href": u}
+                for k, h in zip(pdf["o_orderkey"], pdf["html"])
+                for u in links_text(h, "^buy")
+            ]
+            yield pd.DataFrame(rows, columns=["o_orderkey", "href"])
+
+    return o.mapInPandas(run, "o_orderkey long, href string")
+
+
+@q(
+    "html_decode_batch",
+    """
+    SELECT o_orderkey,
+           'a&b/' || o_orderstatus || '&&lt;end&gt;:' AS decoded,
+           '/' || o_orderkey AS decoded_star
+    FROM orders
+    """,
+)
+def html_decode_batch(spark, sf_dir):
+    """``html-decode``/``html-decode*`` gate: ONLY the 4-entity table maps
+    (&amp; &#38; &#x3a; &#x2f;); &lt;/&gt; pass through untouched, and the
+    star form fixpoints double-encoded entities (html-entities.rkt:28-47)."""
+    from ..kernel import html_decode, html_decode_star
+
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.concat(
+            F.lit("a&#38;b&#x2f;"), F.col("o_orderstatus"),
+            F.lit("&amp;&lt;end&gt;&#x3a;"),
+        ).alias("raw"),
+        F.concat(F.lit("&amp;#x2f;"), F.col("o_orderkey").cast("string")).alias("raw2"),
+    )
+
+    def run(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["decoded"] = pdf["raw"].map(html_decode)
+            pdf["decoded_star"] = pdf["raw2"].map(html_decode_star)
+            yield pdf[["o_orderkey", "decoded", "decoded_star"]]
+
+    return o.mapInPandas(run, "o_orderkey long, decoded string, decoded_star string")
+
+
+@q(
+    "header_parse",
+    """
+    SELECT o_orderkey, 'Content-Type' AS name, 'text/html' AS value FROM orders
+    UNION ALL
+    SELECT o_orderkey, 'X-Order-Id', CAST(o_orderkey AS VARCHAR) FROM orders
+    UNION ALL
+    SELECT o_orderkey, 'Set-Cookie', 'a=1' FROM orders
+    """,
+)
+def header_parse(spark, sf_dir):
+    """Header-codec gate: raw lower-cased header lines → (Title-Cased name,
+    trimmed value) alist (head.rkt:60-66)."""
+    from ..kernel.headers import headers_to_alist
+
+    o = _orders_keyed(spark, sf_dir)
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for k in pdf["o_orderkey"]:
+                alist = headers_to_alist([
+                    b"content-type:  text/html ",
+                    f"x-order-id: {k}".encode(),
+                    b"set-cookie: a=1",
+                ])
+                rows += [
+                    {"o_orderkey": k, "name": n, "value": v} for n, v in alist
+                ]
+            yield pd.DataFrame(rows, columns=["o_orderkey", "name", "value"])
+
+    return o.mapInPandas(run, "o_orderkey long, name string, value string")
+
+
+@q(
+    "cookie_fold",
+    """
+    SELECT o_orderkey,
+           'sess=' || o_orderkey || '; user=u' || (o_orderkey % 100) AS cookie_header
+    FROM orders
+    """,
+)
+def cookie_fold(spark, sf_dir):
+    """Cookie-jar gate (cookies.rkt:71-124 + head.rkt:87-92): three
+    Set-Cookie headers fold into the jar; matching against the request url
+    keeps the path-matching pair in longest-path-first order and drops the
+    non-matching path; the rendered Cookie header is closed-form."""
+    from ..kernel.cookies import cookies_ref, cookies_to_header
+    from ..kernel.headers import headers_set_cookies, headers_to_alist
+
+    o = _orders_keyed(spark, sf_dir)
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for k in pdf["o_orderkey"]:
+                url = f"http://shop{k % 5}.test/a/b/c"
+                alist = headers_to_alist([
+                    f"set-cookie: sess={k}; Path=/a/b".encode(),
+                    f"set-cookie: user=u{k % 100}; Path=/".encode(),
+                    b"set-cookie: other=x; Path=/zz",
+                ])
+                jar = headers_set_cookies(alist, url)
+                rows.append({
+                    "o_orderkey": k,
+                    "cookie_header": cookies_to_header(cookies_ref(jar, url)),
+                })
+            yield pd.DataFrame(rows, columns=["o_orderkey", "cookie_header"])
+
+    return o.mapInPandas(run, "o_orderkey long, cookie_header string")

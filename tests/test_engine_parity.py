@@ -345,3 +345,28 @@ def test_per_host_budget_invariance(spark, corpus, tmp_path):
         t = pq.read_table(os.path.join(seen_dir, d), columns=["host"]).to_pandas()
         by_round[d] = int((t["host"] == h0).sum())
     assert max(by_round.values()) <= 2
+
+
+def test_crawl2_forms_pagination_parity(spark, tmp_path):
+    """The crawl2 gate program (submit/forms/click/let/for/label/recur/
+    download/show) against the pure-Python oracle on a small doc set —
+    byte-identical flies in path order, plus download and seen parity."""
+    from boris_spark.ops import crawl2
+
+    docs = [(i, f"text of document {i} & more") for i in range(37)]
+    pages_dict = crawl2.build_list_pages_py(docs)
+    oracle = spider(crawl2.PROGRAM, SnapshotFetcher(pages_dict))
+
+    pages_df = spark.createDataFrame(
+        list(pages_dict.items()), "url string, html string"
+    )
+    eng = CrawlEngine(spark, pages_df, str(tmp_path / "work"), politeness_k=None)
+    eng.run(crawl2.PROGRAM, max_rounds=30)
+    assert_parity(oracle, eng)
+    # downloads: one byte-identical body per detail branch
+    got_dl = {
+        (r["url"], r["value"]) for r in eng.downloads_df().collect()
+    }
+    want_dl = {(u, b) for _, u, b in oracle.downloads}
+    assert got_dl == want_dl
+    assert len(oracle.downloads) == len(docs)

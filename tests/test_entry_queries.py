@@ -36,6 +36,17 @@ FAST = [
     "tpch_q1",
     "tpch_q3_revenue",
     "events_sessionize",
+    "links_extract",
+    "links_text_extract",
+    "html_decode_batch",
+    "header_parse",
+    "cookie_fold",
+    "crawl2_listing_items",
+    "crawl2_page_no",
+    "crawl2_detail_text",
+    "crawl2_post_requests",
+    "crawl2_downloads",
+    "crawl2_seen",
 ]
 
 
