@@ -52,13 +52,14 @@ from .udfs import CASCADE_SCHEMA, make_cascade_fn, make_fused_fn
 
 REQUEST_SCHEMA = (
     "pc long, url_canon string, url_full string, url_hash long, host string, "
-    "referer string, method string, payload string, bindings string, path_key string"
+    "referer string, method string, payload string, bindings string, path_key string, "
+    "cookies string"
 )
 APPLY_SCHEMA = "pc long, cur_url string, cur_full string, bindings string, path_key string"
 
 _REQ_COLS = [
     "pc", "url_canon", "url_full", "url_hash", "host",
-    "referer", "method", "payload", "bindings", "path_key",
+    "referer", "method", "payload", "bindings", "path_key", "cookies",
 ]
 
 
@@ -255,6 +256,7 @@ class CrawlEngine:
             F.min_by("url_full", "path_key").alias("url_full"),
             F.min_by("method", "path_key").alias("method"),
             F.min_by("payload", "path_key").alias("payload"),
+            F.min_by("cookies", "path_key").alias("cookies"),
         ).persist()
 
         _mark("requests_shuffle")
@@ -397,6 +399,7 @@ class CrawlEngine:
             "path_key",
             F.coalesce("body", F.lit("")).alias("body"),
             "method",
+            "cookies",
         ]
         if "head" in with_body.columns:
             apply0_cols.append("head")
@@ -514,6 +517,7 @@ class CrawlEngine:
             "path_key",
             body_col.alias("body"),
             "method",
+            "cookies",
         ]
         if "head" in replay_b.columns:
             apply0_cols.append(
@@ -749,7 +753,7 @@ class CrawlEngine:
                 cols = ["pc", "cur_url", "cur_full",
                         F.coalesce("body", F.lit("")).alias("body"),
                         "bindings", "path_key"]
-                for opt in ("head", "method"):
+                for opt in ("head", "method", "cookies"):
                     if opt in apply_df.columns:
                         cols.append(opt)
                 out_raw = apply_df.select(*cols).sortWithinPartitions(
@@ -782,7 +786,7 @@ class CrawlEngine:
                 break
             apply_df = cas.where(F.col("kind") == "apply").select(
                 "pc", "cur_url", "cur_full", "bindings", "path_key", "body",
-                "head", "method",
+                "head", "method", "cookies",
             )
         return requests_acc, n_results, gen_paths
 

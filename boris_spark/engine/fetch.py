@@ -114,14 +114,24 @@ def fetch_one(
 
 def make_http_fetch_fn(timeout: float = 10.0, threads: int = 8):
     def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernel.cookies import jar_from_json
+
         with ThreadPoolExecutor(max_workers=threads) as pool:
             for pdf in batches:
+                cookies_col = (
+                    pdf["cookies"] if "cookies" in pdf.columns else [None] * len(pdf)
+                )
                 results = list(
                     pool.map(
+                        # the fetching branch's jar rides in: matching
+                        # cookies are sent and Set-Cookie folds across the
+                        # redirect chain (head.rkt:87-98)
                         lambda r: fetch_one(
-                            r[0], r[1] or "GET", r[2], None, timeout
+                            r[0], r[1] or "GET", r[2], None, timeout,
+                            jar=jar_from_json(r[3]),
                         ),
-                        zip(pdf["url_full"], pdf["method"], pdf["payload"]),
+                        zip(pdf["url_full"], pdf["method"], pdf["payload"],
+                            cookies_col),
                     )
                 )
                 out = pdf.copy()

@@ -66,7 +66,7 @@ class RobotsSnapshotFetcher(SnapshotFetcher):
         self.rules = rules
 
     def fetch(self, url_canon: str, method: str = "GET", form_data=None,
-              url_full: str | None = None):
+              url_full: str | None = None, jar=None):
         rest = url_canon.split("://", 1)[-1]
         host, _, pqf = rest.partition("/")
         pqf = "/" + pqf

@@ -31,13 +31,14 @@ from .compiler import NodeSpec
 CASCADE_SCHEMA = (
     "kind string, pc long, cur_url string, cur_full string, bindings string, path_key string, "
     "url_canon string, url_full string, url_hash long, host string, "
-    "referer string, method string, payload string, value string, vkind string, body string, status int, head string"
+    "referer string, method string, payload string, value string, vkind string, body string, status int, head string, "
+    "cookies string"
 )
 
 _COLS = [
     "kind", "pc", "cur_url", "cur_full", "bindings", "path_key", "url_canon",
     "url_full", "url_hash", "host", "referer", "method", "payload", "value",
-    "vkind", "body", "status", "head",
+    "vkind", "body", "status", "head", "cookies",
 ]
 
 
@@ -69,6 +70,7 @@ def _eval_node(
     out: list[dict],
     head: tuple | None = None,
     method: str = "GET",
+    cookies_json: str | None = None,
 ) -> None:
     bindings = P.bindings_from_json(bindings_json)
     base = cur_full or cur_url
@@ -85,6 +87,7 @@ def _eval_node(
                 path_key=path + _hx(i), url_canon=canon, url_full=full,
                 url_hash=url_hash(canon), host=host_of(canon),
                 referer=cur_url if kind == "click" else None, method="GET",
+                cookies=cookies_json,
             ))
     elif kind == "submit":
         forms = P.ensure_list(spec.forms_expr.eval(ctx))
@@ -96,6 +99,7 @@ def _eval_node(
                 url_hash=url_hash(canon), host=host_of(canon),
                 referer=cur_url, method="POST",
                 payload=encode_value([list(f) for f in fields]),
+                cookies=cookies_json,
             ))
     elif kind in ("extract", "extract_list"):
         v = spec.value.eval(ctx)
@@ -120,7 +124,7 @@ def _eval_node(
                 out.append(_out_row(
                     "apply", pc=child, cur_url=cur_url, cur_full=cur_full, bindings=nb,
                     path_key=path + _hx(i) + _hx(j), body=body,
-                    head=head_json, method=method,
+                    head=head_json, method=method, cookies=cookies_json,
                 ))
     elif kind == "label":
         nb = P.bindings_to_json({**bindings, P.LABEL_PREFIX + spec.name: pc})
@@ -128,7 +132,7 @@ def _eval_node(
             out.append(_out_row(
                 "apply", pc=child, cur_url=cur_url, cur_full=cur_full, bindings=nb,
                 path_key=path + _hx(0) + _hx(j), body=body,
-                head=head_json, method=method,
+                head=head_json, method=method, cookies=cookies_json,
             ))
     elif kind == "recur":
         target = node_table[int(bindings[P.LABEL_PREFIX + spec.name])]
@@ -136,7 +140,7 @@ def _eval_node(
             out.append(_out_row(
                 "apply", pc=child, cur_url=cur_url, cur_full=cur_full, bindings=bindings_json,
                 path_key=path + _hx(0) + _hx(j), body=body,
-                head=head_json, method=method,
+                head=head_json, method=method, cookies=cookies_json,
             ))
     elif kind == "show":
         if spec.value is not None:
@@ -145,7 +149,7 @@ def _eval_node(
             out.append(_out_row(
                 "apply", pc=child, cur_url=cur_url, cur_full=cur_full, bindings=bindings_json,
                 path_key=path + _hx(0) + _hx(j), body=body,
-                head=head_json, method=method,
+                head=head_json, method=method, cookies=cookies_json,
             ))
     elif kind == "download":
         out.append(_out_row(
@@ -192,6 +196,7 @@ def _eval_memo(
     out: list[dict],
     head: tuple | None = None,
     method: str = "GET",
+    cookies_json: str | None = None,
 ) -> None:
     """Evaluate a node once per (pc, url, cur_full, bindings) and replay the
     cached output rows for every further path that reaches the same state —
@@ -207,7 +212,7 @@ def _eval_memo(
         ent = []
         _eval_node(
             spec, node_table, pc, cur_url, cur_full, body, bindings_json,
-            "", ent, head=head, method=method,
+            "", ent, head=head, method=method, cookies_json=cookies_json,
         )
         memo[key] = ent
     for r in ent:
@@ -239,19 +244,52 @@ def make_fused_fn(node_table: dict[int, NodeSpec], fetch_fn):
     status + head, min batch path in ``path_key``); the JVM aggregates
     batches into the round's seen delta + store delta."""
 
+    import inspect
+
+    fetch_wants_cookies = len(inspect.signature(fetch_fn).parameters) >= 2
+
     def fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernel.cookies import (
+            cookies_ref, cookies_to_header, jar_fold_head, jar_from_json,
+            jar_to_json,
+        )
+
         memo: dict = {}
         memo_url = None
         for pdf in batches:
             out: list[dict] = []
-            need = sorted(set(pdf["url_canon"]))
-            # fetch_fn returns (body, status) — file-style empty head — or
-            # (body, status, head) with head = (status line, header alist)
-            fetched = dict(zip(need, fetch_fn(need))) if need else {}
+            cookies_col = (
+                pdf["cookies"] if "cookies" in pdf.columns else [None] * len(pdf)
+            )
+            # the fetch uses the DFS-min request's jar per url (the branch
+            # the reference would fetch with first); later branches replay
+            # the memoized response with their own jars
+            fetch_row: dict[str, tuple] = {}
+            for url, full, path, cj in zip(
+                pdf["url_canon"], pdf["url_full"], pdf["path_key"], cookies_col
+            ):
+                cur = fetch_row.get(url)
+                if cur is None or (path or "") < cur[0]:
+                    fetch_row[url] = (path or "", full, cj)
+            need = sorted(fetch_row)
+            if fetch_wants_cookies:
+                headers = [
+                    cookies_to_header(
+                        cookies_ref(jar_from_json(fetch_row[u][2]), fetch_row[u][1] or u)
+                    )
+                    for u in need
+                ]
+                resps = fetch_fn(need, headers) if need else []
+            else:
+                # fetch_fn returns (body, status) — file-style empty head —
+                # or (body, status, head), head = (status line, header alist)
+                resps = fetch_fn(need) if need else []
+            fetched = dict(zip(need, resps))
             emitted: dict[str, int] = {}
-            for pc, url, url_full, url_hash, host, bindings_json, path, method in zip(
+            for pc, url, url_full, url_hash, host, bindings_json, path, method, cj in zip(
                 pdf["pc"], pdf["url_canon"], pdf["url_full"], pdf["url_hash"],
                 pdf["host"], pdf["bindings"], pdf["path_key"], pdf["method"],
+                cookies_col,
             ):
                 resp = fetched.get(url, ("", 404))
                 body, status = resp[0], resp[1]
@@ -275,15 +313,23 @@ def make_fused_fn(node_table: dict[int, NodeSpec], fetch_fn):
                 )
                 url_full = url_full if isinstance(url_full, str) else None
                 method = method if isinstance(method, str) else "GET"
+                cj = cj if isinstance(cj, str) else None
+                # per-branch cookie fold: the response's Set-Cookie enters
+                # THIS branch's jar before its children run
+                # (hypertext-browser/base.rkt:78-94)
+                if head is not None:
+                    cj = jar_to_json(
+                        jar_fold_head(jar_from_json(cj), head, url_full or url)
+                    )
                 if url != memo_url:
                     memo.clear()
                     memo_url = url
                 for j, child in enumerate(node_table[int(pc)].child_ids):
                     _eval_memo(
-                        memo, (child, url_full, bindings_json, method),
+                        memo, (child, url_full, bindings_json, method, cj),
                         node_table[child], node_table, child,
                         url, url_full, body, bindings_json, path + _hx(j), out,
-                        head=head, method=method,
+                        head=head, method=method, cookies_json=cj,
                     )
             yield _frame(out)
 
@@ -303,15 +349,20 @@ def make_cascade_fn(node_table: dict[int, NodeSpec], fanout: bool = False):
     per fetched page instead of once per (page, child) join row."""
 
     def cascade(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernel.cookies import jar_fold_head, jar_from_json, jar_to_json
+
         memo: dict = {}
         memo_url = None
         for pdf in batches:
             out: list[dict] = []
             heads = pdf["head"] if "head" in pdf.columns else [None] * len(pdf)
             methods = pdf["method"] if "method" in pdf.columns else ["GET"] * len(pdf)
-            for pc, cur_url, cur_full, body, bindings_json, path, head_json, method in zip(
+            cookies_col = (
+                pdf["cookies"] if "cookies" in pdf.columns else [None] * len(pdf)
+            )
+            for pc, cur_url, cur_full, body, bindings_json, path, head_json, method, cj in zip(
                 pdf["pc"], pdf["cur_url"], pdf["cur_full"], pdf["body"],
-                pdf["bindings"], pdf["path_key"], heads, methods,
+                pdf["bindings"], pdf["path_key"], heads, methods, cookies_col,
             ):
                 pc = int(pc)
                 cur_url = cur_url if isinstance(cur_url, str) else None
@@ -325,24 +376,32 @@ def make_cascade_fn(node_table: dict[int, NodeSpec], fanout: bool = False):
                     if isinstance(head_json, str) else None
                 )
                 method = method if isinstance(method, str) else "GET"
+                cj = cj if isinstance(cj, str) else None
                 path = path or ""
+                if fanout and head is not None:
+                    # completed fetch (or store replay): fold the response's
+                    # Set-Cookie into this branch's jar before its children
+                    cj = jar_to_json(
+                        jar_fold_head(jar_from_json(cj), head, cur_full or cur_url)
+                    )
                 if cur_url != memo_url:
                     memo.clear()
                     memo_url = cur_url
                 if fanout:
                     for j, child in enumerate(node_table[pc].child_ids):
                         _eval_memo(
-                            memo, (child, cur_full, bindings_json, method),
+                            memo, (child, cur_full, bindings_json, method, cj),
                             node_table[child], node_table, child,
                             cur_url, cur_full, body, bindings_json,
                             path + _hx(j), out, head=head, method=method,
+                            cookies_json=cj,
                         )
                 else:
                     _eval_memo(
-                        memo, (pc, cur_full, bindings_json, method),
+                        memo, (pc, cur_full, bindings_json, method, cj),
                         node_table[pc], node_table, pc,
                         cur_url, cur_full, body, bindings_json, path, out,
-                        head=head, method=method,
+                        head=head, method=method, cookies_json=cj,
                     )
             yield _frame(out)
 

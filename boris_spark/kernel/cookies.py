@@ -81,6 +81,35 @@ def cookies_to_header(cookies: list[Cookie]) -> str:
     return "; ".join(f"{c[0]}={c[1]}" for c in cookies)
 
 
+# --- jar ↔ JSON column codec (the engine's per-branch cookie state rides
+# the frontier as a string column; tuples survive the round trip)
+
+import json as _json
+
+
+def jar_to_json(jar: list[Cookie]) -> str | None:
+    return _json.dumps([list(c) for c in jar]) if jar else None
+
+
+def jar_from_json(s: str | None) -> list[Cookie]:
+    if not s or not isinstance(s, str):
+        return []
+    return [tuple(c) for c in _json.loads(s)]
+
+
+def jar_fold_head(jar: list[Cookie], head, url: str | None) -> list[Cookie]:
+    """Fold a response head's Set-Cookie fields into *jar* (the browser's
+    per-navigation cookie fold, hypertext-browser/base.rkt:78-94 via
+    head.rkt:87-92). *head* is (status line, [[name, value], ...]) or None
+    (file-style fetch — no cookies)."""
+    if head is None or url is None:
+        return jar
+    from .headers import headers_set_cookies
+
+    _, pairs = head
+    return headers_set_cookies([(k, v) for k, v in pairs], url, jar)
+
+
 _PAIR_RE = re.compile(r"([^=;]*)(?:=([^;]*))?(?:;(.*))?", re.S)
 
 

@@ -26,8 +26,11 @@ from . import program as P
 
 class Fetcher(Protocol):
     def fetch(self, url_canon: str, method: str = "GET", form_data=None,
-              url_full: str | None = None) -> tuple[int, str]:
-        """Return (status, body)."""
+              url_full: str | None = None, jar=None) -> tuple[int, str]:
+        """Return (status, body) or (status, body, head). *jar* is the
+        navigating branch's cookie list (RFC6265-subset tuples) — cookie-
+        aware fetchers send the matching ones (head.rkt:94-98); file-style
+        fetchers ignore it."""
 
 
 class SnapshotFetcher:
@@ -42,7 +45,7 @@ class SnapshotFetcher:
         self.pages = pages
 
     def fetch(self, url_canon: str, method: str = "GET", form_data=None,
-              url_full: str | None = None) -> tuple[int, str]:
+              url_full: str | None = None, jar=None) -> tuple[int, str]:
         body = self.pages.get(url_canon)
         return (200, body) if body is not None else (404, "")
 
@@ -74,6 +77,9 @@ class _State:
     bindings: dict[str, Any] = field(default_factory=dict)
     head: tuple[str, list] | None = None  # (status line, header alist); None = file semantics
     method: str = "GET"
+    # per-branch cookie jar (hypertext-browser/base.rkt:78-94): threaded
+    # through every navigation, folded from each response's Set-Cookie
+    jar: list = field(default_factory=list)
 
 
 class Spider:
@@ -117,7 +123,7 @@ class Spider:
             for i, bset in enumerate(self._binding_sets(node, ctx)):
                 new = _State(state.url, state.url_full, state.body,
                              {**state.bindings, **bset},
-                             state.head, state.method)
+                             state.head, state.method, state.jar)
                 self._fan_children(node.children, new, path, i)
         elif isinstance(node, P.Label):
             # control.rkt:14-20 — bind the label node itself (the web whose
@@ -125,7 +131,7 @@ class Spider:
             new = _State(
                 state.url, state.url_full, state.body,
                 {**state.bindings, P.LABEL_PREFIX + node.name: node},
-                state.head, state.method,
+                state.head, state.method, state.jar,
             )
             self._fan_children(node.children, new, path, 0)
         elif isinstance(node, P.Recur):
@@ -166,7 +172,8 @@ class Spider:
             if url_canon in self.cache:
                 body, head = self.cache[url_canon]  # cache hit: full replay
             else:
-                resp = self.fetcher.fetch(url_canon, method, form_data, url_full)
+                resp = self.fetcher.fetch(url_canon, method, form_data,
+                                          url_full, jar=list(state.jar))
                 # (status, body) → file semantics (empty head, file.rkt:38-47);
                 # (status, body, head) → live head = (status line, alist)
                 body = resp[1]
@@ -174,8 +181,13 @@ class Spider:
                 self.cache[url_canon] = (body, head)
                 self.result.visits.append(url_canon)
                 self.result.seen.add(url_canon)
+            # the branch folds the (possibly replayed) response's Set-Cookie
+            # into its OWN jar — per-branch state, memoized response
+            from ..kernel.cookies import jar_fold_head
+
             new = _State(url_canon, url_full, body, dict(state.bindings),
-                         head, method)
+                         head, method,
+                         jar_fold_head(list(state.jar), head, url_full))
             self._fan_children(node.children, new, path, i)
 
     def _fan_children(self, children, state: _State, path, i: int) -> None:

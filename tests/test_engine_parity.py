@@ -242,7 +242,7 @@ def test_head_and_previous_request_selectors(spark, tmp_path):
     }
 
     class HeadFetcher:
-        def fetch(self, url_canon, method="GET", form_data=None, url_full=None):
+        def fetch(self, url_canon, method="GET", form_data=None, url_full=None, jar=None):
             body = site.get(url_canon)
             if body is None:
                 return (404, "", ("HTTP/1.1 404 Not Found", []))
@@ -370,3 +370,90 @@ def test_crawl2_forms_pagination_parity(spark, tmp_path):
     want_dl = {(u, b) for _, u, b in oracle.downloads}
     assert got_dl == want_dl
     assert len(oracle.downloads) == len(docs)
+
+
+def _cookie_site():
+    """Cookie-gated site: /a sets tok=T1; /b serves 'secret' only when the
+    request carries it (http/head.rkt:87-103). /plain links to /b without
+    setting anything."""
+    A, A2, B = "http://c.test/a", "http://c.test/plain", "http://c.test/b"
+    head_a = ("HTTP/1.1 200 OK", [["Set-Cookie", "tok=T1; Path=/"]])
+    head_ok = ("HTTP/1.1 200 OK", [])
+    link = "<td class='l'><a href='/b'>b</a></td>"
+    body_a = f"<html><body><p>a</p>{link}</body></html>"
+    body_plain = f"<html><body><p>plain</p>{link}</body></html>"
+
+    def page_b(cookie_header):
+        got = "tok=T1" in (cookie_header or "")
+        word = "secret" if got else "denied"
+        return f"<html><body><p>{word}</p></body></html>"
+
+    return A, A2, B, head_a, head_ok, body_a, body_plain, page_b
+
+
+def _cookie_program(seeds):
+    return Go(
+        Lit(seeds),
+        Go(XpathE("//td[@class='l']/a/@href/text()"),
+           Extract(First(XpathTextE("//p")))),
+    )
+
+
+def _run_cookie_both(spark, tmp_path, seeds):
+    from boris_spark.engine.crawler import CrawlEngine
+    from boris_spark.kernel.cookies import cookies_ref, cookies_to_header
+    from boris_spark.oracle import spider
+
+    A, A2, B, head_a, head_ok, body_a, body_plain, page_b = _cookie_site()
+
+    class CookieFetcher:
+        def fetch(self, url_canon, method="GET", form_data=None,
+                  url_full=None, jar=None):
+            hdr = cookies_to_header(cookies_ref(jar or [], url_full or url_canon))
+            if url_canon == A:
+                return (200, body_a, head_a)
+            if url_canon == A2:
+                return (200, body_plain, head_ok)
+            if url_canon == B:
+                return (200, page_b(hdr), head_ok)
+            return (404, "")
+
+    def fetch_fn(urls, cookie_headers):
+        out = []
+        for u, h in zip(urls, cookie_headers):
+            if u == A:
+                out.append((body_a, 200, head_a))
+            elif u == A2:
+                out.append((body_plain, 200, head_ok))
+            elif u == B:
+                out.append((page_b(h), 200, head_ok))
+            else:
+                out.append(("", 404))
+        return out
+
+    program = _cookie_program(seeds)
+    oracle = spider(program, CookieFetcher())
+    eng = CrawlEngine(
+        spark, None, str(tmp_path / "work"), politeness_k=None,
+        fetch_mode="callable", fetch_fn=fetch_fn,
+    )
+    eng.run(program, max_rounds=10)
+    assert_parity(oracle, eng)
+    return oracle
+
+
+def test_cookie_threads_through_click(spark, tmp_path):
+    """The cookie set by /a is sent on the subsequent click to /b — the
+    per-branch jar rides the frontier (hypertext-browser/base.rkt:78-94)."""
+    oracle = _run_cookie_both(spark, tmp_path, [_cookie_site()[0]])
+    assert oracle.fly_values == ["secret"]
+
+
+def test_cookie_memoized_first_fetch_wins(spark, tmp_path):
+    """Two branches reach /b; the DFS-first branch (no cookie) fetches it,
+    and the cookie-holding branch REPLAYS the memoized 'denied' response —
+    the reference's url-keyed cache semantics (browser-services.rkt:35-47),
+    reproduced distributed via the min-path-jar fetch."""
+    A, A2 = _cookie_site()[0], _cookie_site()[1]
+    oracle = _run_cookie_both(spark, tmp_path, [A2, A])
+    assert oracle.fly_values == ["denied", "denied"]

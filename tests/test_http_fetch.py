@@ -58,7 +58,7 @@ def test_fetch_one_follows_redirects(server):
 
 
 class OracleHttpFetcher:
-    def fetch(self, url_canon, method="GET", form_data=None, url_full=None):
+    def fetch(self, url_canon, method="GET", form_data=None, url_full=None, jar=None):
         return fetch_one(url_full or url_canon, method)
 
 
