@@ -503,8 +503,16 @@ class CrawlEngine:
         # empty body: a url seen but never stored, e.g. robots-blocked),
         # then the ordinary fan-out cascade evaluates them — identical
         # semantics to a fresh fetch because fetch memoization replays the
-        # SAME response per url (browser-services.rkt:36-40)
-        body_src = self._body_source()
+        # SAME response per url (browser-services.rkt:36-40). The store is
+        # pre-filtered to this round's replayed urls via a broadcast
+        # semi-join of the SLIM url set, so the growing body-carrying store
+        # is only scanned — a plain left join would have to sort-merge the
+        # whole store (bodies shuffled) because a left-outer join cannot
+        # broadcast its left side.
+        replay_urls = replay.select("url_canon").distinct()
+        body_src = self._body_source().join(
+            F.broadcast(replay_urls), "url_canon", "left_semi"
+        )
         replay_b = replay.join(body_src, "url_canon", "left")
         body_col = F.when(F.col("_blk"), F.lit("")).otherwise(
             F.coalesce("body", F.lit(""))
