@@ -216,6 +216,18 @@ def _split_top(s: str, sep: str) -> list[str]:
     return parts
 
 
+# The deliberate query-language boundary: the reference's sxpath accepts
+# arbitrary SXPath expressions (hypertext-browser/html/xpath.rkt:41-45); this
+# kernel implements the subset every reference test/program uses. Anything
+# beyond it fails loudly with this message rather than silently matching
+# nothing.
+_XPATH_SUBSET = (
+    "steps `/name` `//name`, attribute step `@attr`, `text()`, "
+    "predicates `[n]` `[@attr='value']` `[text() = 'value']`, "
+    "top-level union `a | b`"
+)
+
+
 def _parse_steps(path: str) -> list[_Step]:
     path = path.strip()
     steps: list[_Step] = []
@@ -230,7 +242,10 @@ def _parse_steps(path: str) -> list[_Step]:
         elif path.startswith("/", i):
             axis, i = "child", i + 1
         else:
-            raise ValueError(f"bad xpath step at {i}: {path!r}")
+            raise ValueError(
+                f"bad xpath step at {i}: {path!r}. Supported subset: "
+                f"{_XPATH_SUBSET}"
+            )
         # read test + predicates up to next top-level '/'
         j = i
         depth = 0
@@ -285,7 +300,10 @@ def _parse_steps(path: str) -> list[_Step]:
             if m:
                 preds.append(("pos", m.group(1), int(m.group(2))))
                 continue
-            raise ValueError(f"unsupported xpath predicate: {p!r}")
+            raise ValueError(
+                f"unsupported xpath predicate: {p!r}. Supported subset: "
+                f"{_XPATH_SUBSET}"
+            )
         steps.append(_Step("desc" if axis == "desc" else "child", test.strip(), preds))
     return steps
 

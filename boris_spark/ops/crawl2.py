@@ -30,7 +30,7 @@ from ..oracle.program import (
     LetWeb, ListE, Lit, PrevRequestE, Recur, Show, Submit, ForWeb, UrlE,
     Var, XpathE, XpathTextE,
 )
-from .queries import T, q
+from .queries import T, q, table_rows
 
 HOST = "list.test"
 N_LISTS = 8  # listing-chain length is fixed: rounds stay O(8) at any sf
@@ -64,7 +64,7 @@ def build_list_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(url, html) for the listing chain + detail pages — all JVM-side
     string concat over `documents` (whole-stage codegen, no UDF)."""
     docs = T(spark, sf_dir, "documents")
-    n = docs.count()
+    n = table_rows(sf_dir, "documents")
     ps = _page_size(n)
     n_pages = -(-n // ps)
     d = F.col("doc_id")

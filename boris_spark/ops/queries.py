@@ -33,6 +33,19 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def table_rows(sf_dir: str, name: str) -> int:
+    """Row count from parquet footers — no Spark job at plan-build time."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+            for f in os.listdir(path) if f.endswith(".parquet")
+        )
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 def q(name: str, sql: str | None = None):
     def reg(fn):
         QUERIES[name] = fn
@@ -71,7 +84,7 @@ def build_doc_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     string concat (whole-stage codegen), no UDF. The single <p> holds the
     document text verbatim, so kernel.page_text(html) == text exactly."""
     docs = T(spark, sf_dir, "documents")
-    n = docs.count()
+    n = table_rows(sf_dir, "documents")
     uid = lambda c: F.concat(  # noqa: E731
         F.lit("http://h"), F.pmod(c, F.lit(DOC_HOSTS)).cast("string"),
         F.lit(".docs.test/d/"), c.cast("string")

@@ -95,8 +95,12 @@ def main():
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     import statistics
     page_kb = hi["crawl"].get("mean_page_kb", "?")
+    def _flag(name):
+        a, b = lo["queries"].get(name), hi["queries"].get(name)
+        return "**ANTI-SCALING**" if a and b and b > 1.25 * a else ""
+
     qrows = "\n".join(
-        f"| {name} | {lo['queries'].get(name, '-')} | {hi['queries'].get(name, '-')} |"
+        f"| {name} | {lo['queries'].get(name, '-')} | {hi['queries'].get(name, '-')} | {_flag(name)} |"
         for name in hi["queries"]
     )
     md = f"""# BENCH baseline — two-parallelism-level scaling proxy
@@ -136,9 +140,19 @@ extraction counts at both levels): **{deterministic}**
 
 ## Per-query wall seconds (sf dir {sf_dir})
 
-| query | local[8] | local[32] |
-|---|---|---|
+Queries whose local[32] wall exceeds local[8] by >25% are flagged — a query
+that gets SLOWER with more cores has a scaling defect (round 1:
+dedup_ngram_jaccard was 4.4× worse; fixed by the prefix-filter join).
+
+| query | local[8] | local[32] | |
+|---|---|---|---|
 {qrows}
+
+ANN quality at sf {sf_dir} (measured per run, not asserted from vibes):
+recall@5 = {hi['ann']['recall_at_5']} with {hi['ann']['probed_fraction']:.1%}
+of the corpus probed (IVF K=64/nprobe=6; the ≥0.9-recall regime is the
+clustered-corpus test, tests/test_entry_queries.py::test_ann_ivf_recall_clustered
+— this near-isotropic driver corpus caps ANY sublinear index's recall).
 
 Raw JSON:
 
