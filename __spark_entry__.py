@@ -19,6 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from boris_spark.ops import queries as Q  # noqa: E402
 from boris_spark.ops import crawl2 as _crawl2  # noqa: E402,F401 — registers gates
 from boris_spark.ops import kernel_gates as _kg  # noqa: E402,F401 — registers gates
+from boris_spark.ops import warc_gate as _wg  # noqa: E402,F401 — registers gates
 
 
 def entry(spark: SparkSession) -> DataFrame:

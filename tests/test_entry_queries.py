@@ -47,6 +47,7 @@ FAST = [
     "crawl2_post_requests",
     "crawl2_downloads",
     "crawl2_seen",
+    "warc_ingest",
 ]
 
 

@@ -1,0 +1,59 @@
+"""WARC codec + distributed source: roundtrip, gzip members, truncation,
+non-response records filtered."""
+
+import datetime as dt
+import gzip
+
+from boris_spark.kernel.warc import (
+    build_response_record, build_warc, warc_records,
+)
+
+D0 = dt.datetime(2024, 1, 1)
+
+
+def _recs(n=5):
+    return [
+        (f"http://w.test/p/{i}", D0 + dt.timedelta(seconds=i),
+         f"<html><body><p>page {i}</p></body></html>".encode())
+        for i in range(n)
+    ]
+
+
+def test_roundtrip_plain():
+    got = list(warc_records(build_warc(_recs())))
+    assert [r.uri for r in got] == [u for u, _, _ in _recs()]
+    assert all(r.http_status == 200 for r in got)
+    assert got[3].body == _recs()[3][2]
+    assert got[2].date.replace(tzinfo=None) == D0 + dt.timedelta(seconds=2)
+
+
+def test_roundtrip_gzip_members():
+    data = build_warc(_recs(), compress=True)
+    assert data[:2] == b"\x1f\x8b"
+    got = list(warc_records(data))
+    assert len(got) == 5 and got[4].body == _recs()[4][2]
+
+
+def test_whole_file_gzip():
+    data = gzip.compress(build_warc(_recs()), mtime=0)
+    assert len(list(warc_records(data))) == 5
+
+
+def test_truncated_tail_drops_last_record_only():
+    data = build_warc(_recs())
+    got = list(warc_records(data[: len(data) - 30]))
+    assert len(got) == 4  # tail record lost, no exception
+
+
+def test_non_response_records_skipped_by_source(spark, tmp_path):
+    info = (
+        b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 4\r\n\r\nabcd\r\n\r\n"
+    )
+    body = build_response_record("http://w.test/p/0", D0, b"<p>x</p>")
+    (tmp_path / "a.warc").write_bytes(info + body)
+    from boris_spark.sources import read_warc
+
+    rows = read_warc(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    assert rows[0]["url"] == "http://w.test/p/0"
+    assert rows[0]["text"] == "x"
