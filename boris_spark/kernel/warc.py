@@ -96,6 +96,8 @@ def warc_records(data: bytes):
             length = int(_header(headers, "Content-Length") or "")
         except ValueError:
             return
+        if hdr_end + 4 + length > n:
+            return  # truncated tail record: drop it, keep what parsed
         block = data[hdr_end + 4:hdr_end + 4 + length]
         pos = hdr_end + 4 + length
 
