@@ -5,6 +5,7 @@ deploy path):
     spark-submit --master <cluster> --py-files dist/boris_spark.zip \
         scripts/submit_crawl.py --workdir /data/crawl1 \
         --pages /data/pages_parquet            # snapshot mode, or
+        --warc  /data/cc/*.warc.gz             # Common-Crawl archives, or
         --synthetic 480000 --weight 32         # deterministic synthetic web
         [--politeness-k 100000] [--max-rounds 32] [--resume]
 
@@ -25,6 +26,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--workdir", required=True)
     ap.add_argument("--pages", help="parquet pages table (snapshot fetch mode)")
+    ap.add_argument("--warc", help="directory/glob of .warc(.gz) archives — "
+                    "ingested via the distributed WARC source into the pages "
+                    "table, then crawled in snapshot mode")
     ap.add_argument("--synthetic", type=int, default=0,
                     help="crawl the deterministic synthetic web of N pages (callable mode)")
     ap.add_argument("--weight", type=int, default=32, help="synthetic page weight")
@@ -64,9 +68,14 @@ def main() -> None:
             host_budgets=budgets,
         )
     else:
-        if not args.pages:
-            ap.error("--pages or --synthetic required")
-        pages = spark.read.parquet(args.pages)
+        if not args.pages and not args.warc:
+            ap.error("--pages, --warc, or --synthetic required")
+        if args.warc:
+            from boris_spark.sources import read_warc
+
+            pages = read_warc(spark, args.warc).select("url", "html")
+        else:
+            pages = spark.read.parquet(args.pages)
         seeds = [r["url"] for r in pages.select("url").limit(64).collect()]
         program = Go(Lit(seeds), feat, Go(links_q, feat, Go(links_q, feat)))
         eng = CrawlEngine(
