@@ -58,6 +58,80 @@ def split_blocked(urls: DataFrame, rules: DataFrame) -> tuple[DataFrame, DataFra
     return allowed, blocked
 
 
+def parse_robots(text: str, agent: str = "*") -> list[str]:
+    """Parse a robots.txt body into the Disallow prefixes that apply to
+    *agent* — the RFC 9309 subset the rules table consumes:
+
+    - groups = consecutive ``User-agent`` lines followed by their rules;
+    - the most specific matching group wins: an exact (case-insensitive)
+      agent token beats ``*``; with several same-specificity groups their
+      rules merge (RFC 9309 §2.2.1);
+    - ``Disallow:`` with an empty value allows everything (no rule);
+    - ``Allow`` lines and wildcards inside paths are OUT of the subset —
+      the engine's enforcement is pure prefix-match (split_blocked above);
+    - ``#`` comments and unknown directives are skipped.
+    """
+    agent = agent.lower()
+    groups: list[tuple[list[str], list[str]]] = []  # (agents, disallows)
+    cur_agents: list[str] = []
+    cur_rules: list[str] = []
+    in_rules = False
+
+    def flush():
+        nonlocal cur_agents, cur_rules
+        if cur_agents:
+            groups.append((cur_agents, cur_rules))
+        cur_agents, cur_rules = [], []
+
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, value = line.partition(":")
+        key = key.strip().lower()
+        value = value.strip()
+        if key == "user-agent":
+            if in_rules:
+                flush()
+                in_rules = False
+            cur_agents.append(value.lower())
+        elif key == "disallow":
+            in_rules = True
+            if value:
+                cur_rules.append(value)
+        elif key in ("allow", "crawl-delay", "sitemap"):
+            in_rules = True  # rule line: terminates the user-agent run
+    flush()
+
+    exact = [r for agents, rules in groups if agent in agents for r in rules]
+    if any(agent in agents for agents, _ in groups):
+        return exact
+    return [r for agents, rules in groups if "*" in agents for r in rules]
+
+
+def robots_rules_from_pages(
+    spark: SparkSession, robots_df: DataFrame, agent: str = "*"
+) -> DataFrame:
+    """(host, body) rows of fetched /robots.txt files → the engine's rules
+    table ``(host, disallow_prefix)``. Parse runs distributed in Arrow
+    batches; the result is the (small) broadcast side of split_blocked."""
+
+    def parse(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = [
+                {"host": h, "disallow_prefix": p}
+                for h, b in zip(pdf["host"], pdf["body"])
+                for p in parse_robots(b if isinstance(b, str) else "", agent)
+            ]
+            yield pd.DataFrame(rows, columns=["host", "disallow_prefix"])
+
+    return robots_df.select("host", "body").mapInPandas(
+        parse, "host string, disallow_prefix string"
+    )
+
+
 class RobotsSnapshotFetcher(SnapshotFetcher):
     """Oracle-side mirror: blocked URLs yield (999, "")."""
 

@@ -206,3 +206,45 @@ def cookie_fold(spark, sf_dir):
             yield pd.DataFrame(rows, columns=["o_orderkey", "cookie_header"])
 
     return o.mapInPandas(run, "o_orderkey long, cookie_header string")
+
+
+@q(
+    "robots_parse",
+    """
+    SELECT o_orderkey, '/b/' || o_orderkey AS disallow_prefix FROM orders
+    UNION ALL
+    SELECT o_orderkey, '/priv' FROM orders
+    """,
+)
+def robots_parse(spark, sf_dir):
+    """robots.txt parser gate (RFC 9309 subset, engine/robots.py): the
+    agent-specific group ('boris') wins over '*'; comments, Allow lines and
+    empty Disallows are skipped; two prefixes per synthesized file."""
+    from ..engine.robots import parse_robots
+
+    o = _orders_keyed(spark, sf_dir)
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for k in pdf["o_orderkey"]:
+                body = (
+                    "# synthetic robots\n"
+                    "User-agent: boris\n"
+                    f"Disallow: /b/{k}\n"
+                    "Disallow: /priv\n"
+                    "Allow: /b/ok\n"
+                    "\n"
+                    "User-agent: *\n"
+                    "Disallow: /everyone\n"
+                    "Disallow:\n"
+                )
+                rows += [
+                    {"o_orderkey": k, "disallow_prefix": p}
+                    for p in parse_robots(body, "boris")
+                ]
+            yield pd.DataFrame(rows, columns=["o_orderkey", "disallow_prefix"])
+
+    return o.mapInPandas(run, "o_orderkey long, disallow_prefix string")

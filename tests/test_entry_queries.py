@@ -48,6 +48,7 @@ FAST = [
     "crawl2_downloads",
     "crawl2_seen",
     "warc_ingest",
+    "robots_parse",
 ]
 
 

@@ -57,3 +57,23 @@ def test_non_response_records_skipped_by_source(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0]["url"] == "http://w.test/p/0"
     assert rows[0]["text"] == "x"
+
+
+def test_robots_rules_from_pages(spark):
+    """Distributed robots.txt → rules table; split_blocked consumes it."""
+    from boris_spark.engine.robots import robots_rules_from_pages
+
+    df = spark.createDataFrame(
+        [
+            ("a.test", "User-agent: *\nDisallow: /x/\nDisallow: /y"),
+            ("b.test", "User-agent: boris\nDisallow: /only-boris\n"
+                       "User-agent: *\nDisallow: /star"),
+            ("c.test", "User-agent: *\nDisallow:"),
+        ],
+        "host string, body string",
+    )
+    rules = {
+        (r["host"], r["disallow_prefix"])
+        for r in robots_rules_from_pages(spark, df, agent="boris").collect()
+    }
+    assert rules == {("a.test", "/x/"), ("a.test", "/y"), ("b.test", "/only-boris")}
