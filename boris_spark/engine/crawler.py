@@ -510,8 +510,12 @@ class CrawlEngine:
         # whole store (bodies shuffled) because a left-outer join cannot
         # broadcast its left side.
         replay_urls = replay.select("url_canon").distinct()
-        body_src = self._body_source().join(
-            F.broadcast(replay_urls), "url_canon", "left_semi"
+        body_src = (
+            self._body_source()
+            .join(F.broadcast(replay_urls), "url_canon", "left_semi")
+            # the store may hold one fetched row per Arrow batch for a url
+            # whose requests straddled a batch boundary — replay needs one
+            .dropDuplicates(["url_canon"])
         )
         replay_b = replay.join(body_src, "url_canon", "left")
         body_col = F.when(F.col("_blk"), F.lit("")).otherwise(
@@ -542,18 +546,21 @@ class CrawlEngine:
         _mark("fused_cascade")
 
         # persist this round's fetched bodies to the store sink (the page
-        # cache future rounds replay from); one row per url
-        fetched_rows = self.spark.read.parquet(gen_paths[0]).where(
-            F.col("kind") == "fetched"
-        )
-        self._append(
-            fetched_rows.groupBy("url_canon").agg(
-                F.first("body").alias("body"),
-                F.min("status").alias("status"),
-                F.first("head").alias("head"),
-            ),
-            "store", rnd,
-        )
+        # cache future rounds replay from) by RENAMING the kind=fetched
+        # partition of the gen-1 snapshot — bodies hit disk exactly once
+        # (the partitionBy('kind') write above), never re-written
+        import shutil
+
+        fetched_dir = os.path.join(gen_paths[0], "kind=fetched")
+        store_dir = self._path("store", f"round={rnd}")
+        os.makedirs(self._path("store"), exist_ok=True)
+        if os.path.isdir(store_dir):
+            shutil.rmtree(store_dir)  # re-run of an interrupted round
+        if os.path.isdir(fetched_dir):
+            os.rename(fetched_dir, store_dir)
+            fetched_rows = self.spark.read.parquet(store_dir)
+        else:
+            fetched_rows = self._empty(CASCADE_SCHEMA).drop("kind")
         _mark("store_write")
 
         # the round's seen delta, aggregated from the fused stage's per-batch
@@ -772,13 +779,20 @@ class CrawlEngine:
                 )
             key = rnd * 1000 + gen
             path = self._path("cascade_tmp", f"round={key}")
-            out_raw.write.mode("overwrite").parquet(path)
+            # hive-partitioned by kind: ONE execution of the Python stage,
+            # and each consumer reads (or renames) exactly its subdir —
+            # kind=fetched (the only body-heavy durable need) is MOVED into
+            # the store sink with os.rename, so page bodies hit disk once
+            out_raw.write.partitionBy("kind").mode("overwrite").parquet(path)
             self._tmp_sink_paths.append(path)
             gen_paths.append(path)
-            kinds = self._pq_read(path, columns=["kind"])["kind"].value_counts()
+            kinds = {
+                d[5:]: self._pq_rows(os.path.join(path, d))
+                for d in os.listdir(path) if d.startswith("kind=")
+            }
             n_results += int(kinds.get("result", 0))
             if os.environ.get("BORIS_TIMING"):
-                print(f"  cascade gen{gen}: eval+write={_t.time()-_g1:.2f} kinds={dict(kinds)}")
+                print(f"  cascade gen{gen}: eval+write={_t.time()-_g1:.2f} kinds={kinds}")
             cas = self.spark.read.parquet(path)
             if any(kinds.get(k, 0) for k in ("result", "request", "download")):
                 self._append(
@@ -787,12 +801,17 @@ class CrawlEngine:
                     ).drop("body", "head"),
                     "cascade", key,
                 )
-            requests_acc = requests_acc.unionByName(
-                cas.where(F.col("kind") == "request").select(*_REQ_COLS)
-            )
+            if kinds.get("request", 0):
+                requests_acc = requests_acc.unionByName(
+                    self.spark.read.parquet(
+                        os.path.join(path, "kind=request")
+                    ).select(*_REQ_COLS)
+                )
             if int(kinds.get("apply", 0)) == 0:
                 break
-            apply_df = cas.where(F.col("kind") == "apply").select(
+            apply_df = self.spark.read.parquet(
+                os.path.join(path, "kind=apply")
+            ).select(
                 "pc", "cur_url", "cur_full", "bindings", "path_key", "body",
                 "head", "method", "cookies",
             )
