@@ -82,12 +82,12 @@ def run_sessionize_append(
     """Append-mode drain of a finite event log; returns the closed-session
     table read back from the parquet sink (sentinel excluded).
 
-    Stages the matching source files into ``workdir/src`` with pinned
-    modification times, then one sentinel event 30 days past the newest
-    real event (later mtime ⇒ processed in a later micro-batch under
-    maxFilesPerTrigger=1). After the sentinel batch the watermark exceeds
-    every real session's end, so the final (no-data) micro-batch flushes
-    them all to the sink before AvailableNow terminates."""
+    Stages the matching source files into ``workdir/src`` plus one sentinel
+    event 30 days past the newest real event. The whole source drains in ONE
+    data micro-batch; the watermark then advances past every real session's
+    end (the sentinel guarantees it), and the trailing no-data micro-batch
+    (on by default) flushes them all to the sink before AvailableNow
+    terminates. Only the sentinel's own open session remains in state."""
     src = os.path.join(workdir, "src")
     os.makedirs(src, exist_ok=True)
 
@@ -121,18 +121,26 @@ def run_sessionize_append(
     shutil.copy(os.path.join(stmp, part), dst)
     os.utime(dst, (2_000_000, 2_000_000))
 
-    sdf = stream_sessionize(
-        spark, src, gap=gap, watermark=watermark, schema=schema,
-        max_files_per_trigger=1,
-    )
+    sdf = stream_sessionize(spark, src, gap=gap, watermark=watermark,
+                            schema=schema)
     out = os.path.join(workdir, "out")
-    q = (
-        sdf.writeStream.format("parquet")
-        .outputMode("append")
-        .option("path", out)
-        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
+    # the drain runs several micro-batches, each paying per-partition
+    # state-store overhead; a small fixed partition count is right for this
+    # finite drain (a production continuous stream sizes it to state volume
+    # instead). The session conf is captured at query START, so the
+    # temporary override is safe to restore immediately after.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            sdf.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     q.awaitTermination(600)
     return spark.read.parquet(out).where(F.col("user_id") != SENTINEL_USER)

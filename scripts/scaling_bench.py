@@ -143,6 +143,20 @@ extraction counts at both levels): **{deterministic}**
 Queries whose local[32] wall exceeds local[8] by >25% are flagged — a query
 that gets SLOWER with more cores has a scaling defect (round 1:
 dedup_ngram_jaccard was 4.4× worse; fixed by the prefix-filter join).
+Known benign flag: `events_sessionize_stream` is a finite AvailableNow
+DRAIN — wall is micro-batch/state-store fixed overhead (~seconds), not
+throughput; at scale the continuous form's cost is the per-batch state
+shuffle, which partitions by user_id and scales with executors.
+
+Round-1 → round-2 crawl-throughput note: round 2 is moderately slower per
+level than round 1 BY DESIGN — the fused callable path now persists every
+fetched body to the store sink (write-once via partition rename) so cache
+hits REPLAY instead of re-fetching (round 1 re-called fetch_fn for every
+seen-hit traversal, bypassing the politeness budget — only accidentally
+correct for deterministic fetchers). The extra cost is one Arrow crossing +
+one compressed parquet write per fetched page: the price of correct
+memoization with live fetchers and of crash-resumable response storage (the
+reference's fs-dict semantics).
 
 | query | local[8] | local[32] | |
 |---|---|---|---|
