@@ -77,3 +77,48 @@ def test_robots_rules_from_pages(spark):
         for r in robots_rules_from_pages(spark, df, agent="boris").collect()
     }
     assert rules == {("a.test", "/x/"), ("a.test", "/y"), ("b.test", "/only-boris")}
+
+
+def test_warc_roundtrip_fuzz():
+    """Property: build→parse is the identity on (uri, body) for arbitrary
+    binary bodies, plain and gzip'd."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        st.lists(st.binary(min_size=0, max_size=300), min_size=1, max_size=6),
+        st.booleans(),
+    )
+    def check(bodies, compress):
+        recs = [
+            (f"http://f.test/p/{i}", D0 + dt.timedelta(seconds=i), b)
+            for i, b in enumerate(bodies)
+        ]
+        got = list(warc_records(build_warc(recs, compress=compress)))
+        assert [(r.uri, r.body) for r in got] == [
+            (u, b) for u, _, b in recs
+        ]
+
+    check()
+
+
+def test_cookie_jar_json_roundtrip_fuzz():
+    """Property: jar → JSON column → jar is the identity (tuples restored)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from boris_spark.kernel.cookies import jar_from_json, jar_to_json
+
+    token = st.text(
+        alphabet=st.characters(blacklist_characters=";,=\x00", min_codepoint=33,
+                               max_codepoint=126),
+        min_size=1, max_size=12,
+    )
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.lists(st.tuples(token, token, token, token), max_size=8))
+    def check(jar):
+        assert jar_from_json(jar_to_json(jar)) == jar
+
+    check()
