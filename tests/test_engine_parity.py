@@ -457,3 +457,38 @@ def test_cookie_memoized_first_fetch_wins(spark, tmp_path):
     A, A2 = _cookie_site()[0], _cookie_site()[1]
     oracle = _run_cookie_both(spark, tmp_path, [A2, A])
     assert oracle.fly_values == ["denied", "denied"]
+
+
+def test_resume_callable_mode_with_store(spark, corpus, tmp_path):
+    """Kill a callable-mode (fused fetch) crawl after 2 rounds, resume in a
+    fresh engine: cache hits of pre-kill fetches must replay from the store
+    sink, the final output must match the oracle exactly, and no url may be
+    fetched (= stored) twice across the kill — the fetch-once contract that
+    matters for live fetchers."""
+    _, pages_dict = corpus
+    seeds = webgen.seeds_for(N_PAGES, SEED)
+    program = flagship_program(seeds)
+    oracle = spider(program, SnapshotFetcher(pages_dict))
+
+    def fetch_fn(urls):
+        return [
+            (pages_dict.get(u), 200) if u in pages_dict else (None, 404)
+            for u in urls
+        ]
+
+    eng1 = CrawlEngine(
+        spark, None, str(tmp_path / "work"), politeness_k=4,
+        fetch_mode="callable", fetch_fn=fetch_fn,
+    )
+    eng1.run(program, max_rounds=2)  # partial crawl
+    eng2 = CrawlEngine(
+        spark, None, str(tmp_path / "work"), politeness_k=4,
+        fetch_mode="callable", fetch_fn=fetch_fn,
+    )
+    eng2.run(program, max_rounds=50, resume=True)
+    assert_parity(oracle, eng2)
+    # fetch-once across the kill: each url appears in exactly one store
+    # round (distinct per round; batch-straddling dupes within a round are
+    # tolerated and deduped at replay)
+    store = eng2._read_sink("store").select("url_canon", "round").distinct()
+    assert store.groupBy("url_canon").count().where("count > 1").count() == 0
