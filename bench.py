@@ -118,7 +118,7 @@ def crawl_bench(spark, n_pages: int, workdir: str) -> dict:
     mean_kb = sum(
         len(webgen.page_html(p, n_pages, seed, weight)) for p in sample
     ) / len(sample) / 1024
-    return {
+    out = {
         "pages": n_pages,
         "page_weight": weight,
         "fetch_mode": mode,
@@ -129,6 +129,15 @@ def crawl_bench(spark, n_pages: int, workdir: str) -> dict:
         "crawl_sec": round(wall, 2),
         "urls_per_sec": round(summary.fetched / wall, 1),
     }
+    if os.environ.get("BORIS_CEILING_PROBE"):
+        # paired bare-metal probe: measured in the SAME host-contention
+        # window as this run, at the same cpu count — the denominator for
+        # engine-vs-hardware efficiency (scripts/scaling_bench.py)
+        from boris_spark.synth.ceiling import probe
+
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        out["ceiling_pages_per_sec"] = probe(cpus)
+    return out
 
 
 def main():
