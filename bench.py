@@ -151,9 +151,16 @@ def main():
     spark = get_spark("boris-bench", cores=cpus)
     t_total = time.time()
 
+    import shutil
     import tempfile
 
-    crawl = crawl_bench(spark, n_pages, tempfile.mkdtemp(prefix="boris_bench_"))
+    workdir = tempfile.mkdtemp(prefix="boris_bench_")
+    try:
+        crawl = crawl_bench(spark, n_pages, workdir)
+    finally:
+        # the store sink persists every fetched body — ~3 GB per 480k-page
+        # run; accumulated bench workdirs once filled the disk mid-run
+        shutil.rmtree(workdir, ignore_errors=True)
 
     times = {}
     for name in BENCH_QUERIES:
