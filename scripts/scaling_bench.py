@@ -122,8 +122,13 @@ def render(lo, hi, n_pages, reps, sf_dir):
     engine8 = thr_lo / ceil8
     engine32 = thr_hi / ceil32
     def _flag(name):
+        # relative AND absolute threshold: sub-second overhead-bound queries
+        # jitter past 1.25× on this VM without meaning anything
         a, b = lo["queries"].get(name), hi["queries"].get(name)
-        return "**ANTI-SCALING**" if a and b and b > 1.25 * a else ""
+        return (
+            "**ANTI-SCALING**"
+            if a and b and b > 1.25 * a and b - a > 1.0 else ""
+        )
 
     qrows = "\n".join(
         f"| {name} | {lo['queries'].get(name, '-')} | {hi['queries'].get(name, '-')} | {_flag(name)} |"
