@@ -212,7 +212,7 @@ class CrawlEngine:
                 break
             requests = self.spark.read.parquet(self._path("frontier", f"round={rnd}"))
             rt0 = time.time()
-            _, fetched, n_results, metrics = self._round(requests, rnd)
+            _, fetched, n_results, metrics = self._round(requests, rnd, n_req)
             total_fetched += fetched
             total_results += n_results
             metrics.update(
@@ -232,7 +232,7 @@ class CrawlEngine:
 
     # ------------------------------------------------------------- rounds
 
-    def _round(self, requests: DataFrame, rnd: int):
+    def _round(self, requests: DataFrame, rnd: int, n_req: int | None = None):
         import time as _t
         _marks = [("start", _t.time())]
         _mark = lambda label: _marks.append((label, _t.time()))  # noqa: E731
@@ -260,7 +260,7 @@ class CrawlEngine:
         ).persist()
 
         _mark("requests_shuffle")
-        unseen = self._filter_unseen(urls).persist()
+        unseen = self._filter_unseen(urls, n_req).persist()
         # handle kept BEFORE any rebinding (robots split below rebinds
         # `unseen`); without it the cached original leaked for the rest of
         # the crawl and the rebound, never-persisted frame got unpersisted
@@ -673,7 +673,7 @@ class CrawlEngine:
             "bucket", F.pmod(F.col("url_hash"), F.lit(self.n_buckets)).cast("int")
         )
 
-    def _filter_unseen(self, urls: DataFrame) -> DataFrame:
+    def _filter_unseen(self, urls: DataFrame, n_candidates: int | None = None) -> DataFrame:
         seen = self._read_sink("seen")
         if seen is None:
             return urls
@@ -713,7 +713,15 @@ class CrawlEngine:
             # shuffled) is only safe below a size cap. Above it, fall back to
             # the shuffle anti-join — at design scale that path is a
             # co-partitioned join against the bucket-partitioned seen sink.
-            n_maybe = maybe.count()  # cheap: slim persisted frame
+            # `maybe` ⊆ this round's distinct urls ⊆ the frontier rows, so
+            # when the frontier row count (free, from parquet footers) is
+            # already under the cap, skip the counting job entirely
+            n_maybe = (
+                n_candidates
+                if n_candidates is not None
+                and n_candidates <= self.broadcast_seen_limit
+                else maybe.count()
+            )
             if n_maybe <= self.broadcast_seen_limit:
                 # both joins broadcast the small side; the growing seen table
                 # is only ever scanned (two slim columns, partition-prunable).
