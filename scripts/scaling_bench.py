@@ -166,6 +166,17 @@ host contention cancelled = **{engine32 / engine8:.2f}**
 N→4N-executor cluster (independent machines, no shared-host contention) the
 engine-side criterion is this normalized number.
 
+Reading the per-level ratios: they are conservative LOWER bounds on engine
+efficiency — the probe counts ONE featurization per page, while the crawl's
+reference semantics evaluate ~1.5× that (the program extracts at three
+depths and memoized cache-hit replays re-emit their extractions:
+{hi['crawl']['extractions']} extractions for {hi['crawl']['fetched']}
+fetches). That work factor is identical at both levels, so it cancels in
+the N→4N ratio; what does NOT cancel is per-round fixed cost (frontier
+checkpoint, seen/store commits, JVM job scheduling — ~25-35 s per full
+crawl regardless of core count), which is the measured residual between the
+normalized efficiency and 1.0.
+
 Determinism across parallelism levels (same seed ⇒ identical fetched +
 extraction counts at both levels): **{deterministic}**
 
