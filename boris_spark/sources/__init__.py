@@ -1,1 +1,1 @@
-from .warc import read_warc  # noqa: F401
+from .warc import read_warc, write_warc  # noqa: F401

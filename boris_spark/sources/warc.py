@@ -40,6 +40,47 @@ def _lang_guess(text: str) -> str:
     return counts[0][0]
 
 
+def write_warc(pages: DataFrame, out_dir: str, compress: bool = True) -> int:
+    """WARC sink: write a pages table (url, warc_ts, html) as Common-Crawl
+    style archives — ONE .warc(.gz) file per partition, streamed record by
+    record inside the executor (no partition ever materializes in memory,
+    no driver collect). Returns the number of archive files written.
+
+    The inverse of :func:`read_warc`: ``read_warc(write_warc(df)) == df``
+    on (url, warc_ts, html) — pinned by tests/test_warc.py. A crawl exports
+    its store sink this way to hand fetched pages downstream in the
+    archive format the rest of the CC ecosystem consumes."""
+    import gzip as _gzip
+    import os
+
+    from ..kernel.warc import build_response_record
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def dump(idx, rows):
+        path = os.path.join(
+            out_dir, f"part-{idx:05d}.warc" + (".gz" if compress else "")
+        )
+        n = 0
+        opener = _gzip.open if compress else open
+        with opener(path, "wb") as f:
+            for row in rows:
+                body = bytes(row["html"]) if row["html"] is not None else b""
+                f.write(build_response_record(row["url"], row["warc_ts"], body))
+                n += 1
+        if n == 0:
+            os.remove(path)
+            return iter([])
+        return iter([1])
+
+    files = (
+        pages.select("url", "warc_ts", "html")
+        .rdd.mapPartitionsWithIndex(dump)
+        .sum()
+    )
+    return int(files)
+
+
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
     """Read a directory (or glob) of .warc / .warc.gz files into the pages
     table. One parse task per file."""

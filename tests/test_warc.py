@@ -122,3 +122,24 @@ def test_cookie_jar_json_roundtrip_fuzz():
         assert jar_from_json(jar_to_json(jar)) == jar
 
     check()
+
+
+def test_warc_sink_roundtrip(spark, tmp_path):
+    """write_warc → read_warc is the identity on (url, warc_ts, html) —
+    the crawl's archive-export path."""
+    from boris_spark.sources import read_warc, write_warc
+
+    rows = [
+        (f"http://s.test/p/{i}", D0 + dt.timedelta(seconds=i),
+         f"<html><body><p>sink {i}</p></body></html>".encode())
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, html binary")
+    out = str(tmp_path / "warcs")
+    n_files = write_warc(df.repartition(4), out)
+    assert 1 <= n_files <= 4
+    back = {
+        (r["url"], r["warc_ts"], bytes(r["html"]))
+        for r in read_warc(spark, out).collect()
+    }
+    assert back == set(rows)
