@@ -71,17 +71,41 @@ def parse_robots(text: str, agent: str = "*") -> list[str]:
       the engine's enforcement is pure prefix-match (split_blocked above);
     - ``#`` comments and unknown directives are skipped.
     """
+    groups = _parse_groups(text)
     agent = agent.lower()
-    groups: list[tuple[list[str], list[str]]] = []  # (agents, disallows)
+    exact = [r for agents, rules, _ in groups if agent in agents for r in rules]
+    if any(agent in agents for agents, _, _ in groups):
+        return exact
+    return [r for agents, rules, _ in groups if "*" in agents for r in rules]
+
+
+def parse_crawl_delay(text: str, agent: str = "*") -> float | None:
+    """The ``Crawl-delay`` (seconds) of the group that applies to *agent*
+    (same group-selection rule as :func:`parse_robots`); None if absent."""
+    groups = _parse_groups(text)
+    agent = agent.lower()
+    pools = (
+        [g for g in groups if agent in g[0]]
+        if any(agent in g[0] for g in groups)
+        else [g for g in groups if "*" in g[0]]
+    )
+    delays = [d for _, _, d in pools if d is not None]
+    return min(delays) if delays else None
+
+
+def _parse_groups(text: str) -> list[tuple[list[str], list[str], float | None]]:
+    """robots.txt → [(agent tokens, disallow prefixes, crawl-delay)]."""
+    groups: list[tuple[list[str], list[str], float | None]] = []
     cur_agents: list[str] = []
     cur_rules: list[str] = []
+    cur_delay: float | None = None
     in_rules = False
 
     def flush():
-        nonlocal cur_agents, cur_rules
+        nonlocal cur_agents, cur_rules, cur_delay
         if cur_agents:
-            groups.append((cur_agents, cur_rules))
-        cur_agents, cur_rules = [], []
+            groups.append((cur_agents, cur_rules, cur_delay))
+        cur_agents, cur_rules, cur_delay = [], [], None
 
     for raw in text.splitlines():
         line = raw.split("#", 1)[0].strip()
@@ -99,14 +123,48 @@ def parse_robots(text: str, agent: str = "*") -> list[str]:
             in_rules = True
             if value:
                 cur_rules.append(value)
-        elif key in ("allow", "crawl-delay", "sitemap"):
+        elif key == "crawl-delay":
+            in_rules = True
+            try:
+                cur_delay = float(value)
+            except ValueError:
+                pass
+        elif key in ("allow", "sitemap"):
             in_rules = True  # rule line: terminates the user-agent run
     flush()
+    return groups
 
-    exact = [r for agents, rules in groups if agent in agents for r in rules]
-    if any(agent in agents for agents, _ in groups):
-        return exact
-    return [r for agents, rules in groups if "*" in agents for r in rules]
+
+def host_budgets_from_robots(
+    spark: SparkSession,
+    robots_df: DataFrame,
+    agent: str = "*",
+    round_seconds: float = 60.0,
+    min_budget: int = 1,
+) -> DataFrame:
+    """Crawl-delay → the engine's per-host politeness budgets table
+    ``(host, budget)``: a host asking for a d-second delay gets at most
+    ``round_seconds / d`` fetches per crawl round (the round is the
+    engine's scheduling quantum). Hosts without a Crawl-delay are absent —
+    they fall back to the global ``politeness_k``."""
+
+    def parse(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for h, b in zip(pdf["host"], pdf["body"]):
+                d = parse_crawl_delay(b if isinstance(b, str) else "", agent)
+                if d and d > 0:
+                    rows.append({
+                        "host": h,
+                        "budget": max(min_budget, int(round_seconds / d)),
+                    })
+            yield pd.DataFrame(rows, columns=["host", "budget"])
+
+    return robots_df.select("host", "body").mapInPandas(
+        parse, "host string, budget int"
+    )
 
 
 def robots_rules_from_pages(

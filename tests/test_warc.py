@@ -143,3 +143,33 @@ def test_warc_sink_roundtrip(spark, tmp_path):
         for r in read_warc(spark, out).collect()
     }
     assert back == set(rows)
+
+
+def test_crawl_delay_to_host_budgets(spark):
+    """Crawl-delay parses per agent group and converts to the engine's
+    per-host budget table (round_seconds / delay, floor at min_budget)."""
+    from boris_spark.engine.robots import (
+        host_budgets_from_robots, parse_crawl_delay,
+    )
+
+    body = (
+        "User-agent: boris\nCrawl-delay: 2\nDisallow: /x\n\n"
+        "User-agent: *\nCrawl-delay: 10\n"
+    )
+    assert parse_crawl_delay(body, "boris") == 2.0
+    assert parse_crawl_delay(body, "other") == 10.0
+    assert parse_crawl_delay("User-agent: *\nDisallow: /a", "x") is None
+
+    df = spark.createDataFrame(
+        [("a.test", body), ("b.test", "User-agent: *\nDisallow: /q"),
+         ("c.test", "User-agent: *\nCrawl-delay: 1000")],
+        "host string, body string",
+    )
+    got = {
+        (r["host"], r["budget"])
+        for r in host_budgets_from_robots(
+            spark, df, agent="boris", round_seconds=60
+        ).collect()
+    }
+    # a.test: 60/2 = 30; b.test absent (no delay); c.test floored to 1
+    assert got == {("a.test", 30), ("c.test", 1)}
