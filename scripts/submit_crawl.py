@@ -37,6 +37,10 @@ def main() -> None:
                     help="synthetic seeds: one per this many pages")
     ap.add_argument("--politeness-k", type=int, default=100000)
     ap.add_argument("--host-budgets", help="CSV file host,budget — per-host politeness budgets")
+    ap.add_argument("--robots-pages", help="parquet of (host, body) fetched "
+                    "robots.txt files — parsed (RFC 9309 subset) into "
+                    "disallow rules AND Crawl-delay per-host budgets")
+    ap.add_argument("--agent", default="*", help="user-agent token for robots group selection")
     ap.add_argument("--max-rounds", type=int, default=32)
     ap.add_argument("--n-buckets", type=int, default=64)
     ap.add_argument("--resume", action="store_true")
@@ -54,6 +58,21 @@ def main() -> None:
         budgets = spark.read.csv(
             args.host_budgets, schema="host string, budget int"
         )
+    robots_rules = None
+    if args.robots_pages:
+        from boris_spark.engine.robots import (
+            host_budgets_from_robots, robots_rules_from_pages,
+        )
+
+        robots_df = spark.read.parquet(args.robots_pages)
+        robots_rules = robots_rules_from_pages(spark, robots_df, args.agent)
+        delay_budgets = host_budgets_from_robots(spark, robots_df, args.agent)
+        budgets = (
+            delay_budgets if budgets is None
+            else budgets.unionByName(delay_budgets)
+            .groupBy("host").agg({"budget": "min"})
+            .withColumnRenamed("min(budget)", "budget")
+        )
 
     links_q = XpathE("//td[@class='title']/a/@href/text()")
     feat = Extract(PageProfileE())
@@ -65,7 +84,7 @@ def main() -> None:
             spark, None, args.workdir, fetch_mode="callable",
             fetch_fn=webgen.make_fetcher(n, args.seed, args.weight),
             politeness_k=args.politeness_k, n_buckets=args.n_buckets,
-            host_budgets=budgets,
+            host_budgets=budgets, robots_rules=robots_rules,
         )
     else:
         if not args.pages and not args.warc:
@@ -81,7 +100,7 @@ def main() -> None:
         eng = CrawlEngine(
             spark, pages, args.workdir,
             politeness_k=args.politeness_k, n_buckets=args.n_buckets,
-            host_budgets=budgets,
+            host_budgets=budgets, robots_rules=robots_rules,
         )
 
     s = eng.run(program, max_rounds=args.max_rounds, resume=args.resume)
