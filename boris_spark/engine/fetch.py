@@ -61,6 +61,19 @@ def fetch_one(
     from ..kernel.cookies import cookies_ref, cookies_to_header
     from ..kernel.headers import headers_set_cookies, headers_to_alist
 
+    if url_full.startswith("file://"):
+        # the reference's file protocol (file.rkt:41-47): body = file
+        # contents, empty status line + header alist; read errors → 0/""
+        # like any other failed fetch
+        try:
+            path = urllib.request.url2pathname(
+                urllib.parse.urlparse(url_full).path
+            )
+            with open(path, encoding="utf-8", errors="replace") as f:
+                return (200, f.read(), ("", []))
+        except OSError:
+            return (0, "", ("", []))
+
     url = url_full
     data = None
     headers = {}

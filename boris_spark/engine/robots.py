@@ -146,7 +146,13 @@ def host_budgets_from_robots(
     ``(host, budget)``: a host asking for a d-second delay gets at most
     ``round_seconds / d`` fetches per crawl round (the round is the
     engine's scheduling quantum). Hosts without a Crawl-delay are absent —
-    they fall back to the global ``politeness_k``."""
+    they fall back to the global ``politeness_k``.
+
+    The result is aggregated to ONE row per host (min budget wins — the
+    most conservative delay, matching submit_crawl's union-dedup rule).
+    Duplicate host rows in *robots_df* (refetched robots.txt, multiple
+    snapshots) would otherwise row-multiply every unseen URL of that host
+    through the politeness stage's broadcast left join."""
 
     def parse(batches):
         import pandas as pd
@@ -162,8 +168,11 @@ def host_budgets_from_robots(
                     })
             yield pd.DataFrame(rows, columns=["host", "budget"])
 
-    return robots_df.select("host", "body").mapInPandas(
-        parse, "host string, budget int"
+    return (
+        robots_df.select("host", "body")
+        .mapInPandas(parse, "host string, budget int")
+        .groupBy("host")
+        .agg(F.min("budget").alias("budget"))
     )
 
 

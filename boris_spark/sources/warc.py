@@ -49,28 +49,38 @@ def write_warc(pages: DataFrame, out_dir: str, compress: bool = True) -> int:
     The inverse of :func:`read_warc`: ``read_warc(write_warc(df)) == df``
     on (url, warc_ts, html) — pinned by tests/test_warc.py. A crawl exports
     its store sink this way to hand fetched pages downstream in the
-    archive format the rest of the CC ecosystem consumes."""
+    archive format the rest of the CC ecosystem consumes.
+
+    Task-retry safe: each attempt streams into a unique temp file and
+    ``os.rename``\\ s it over the final part path on success (atomic on
+    POSIX; attempts are deterministic per partition, so last-writer-wins is
+    byte-identical). Compressed output is ONE GZIP MEMBER PER RECORD — the
+    actual Common-Crawl layout, which gives downstream CC tooling
+    record-level random access (offset+length seeks into the .gz)."""
     import gzip as _gzip
     import os
+    import uuid as _uuid
 
     from ..kernel.warc import build_response_record
 
     os.makedirs(out_dir, exist_ok=True)
 
     def dump(idx, rows):
-        path = os.path.join(
+        final = os.path.join(
             out_dir, f"part-{idx:05d}.warc" + (".gz" if compress else "")
         )
+        tmp = final + f".tmp-{_uuid.uuid4().hex}"
         n = 0
-        opener = _gzip.open if compress else open
-        with opener(path, "wb") as f:
+        with open(tmp, "wb") as f:
             for row in rows:
                 body = bytes(row["html"]) if row["html"] is not None else b""
-                f.write(build_response_record(row["url"], row["warc_ts"], body))
+                rec = build_response_record(row["url"], row["warc_ts"], body)
+                f.write(_gzip.compress(rec, mtime=0) if compress else rec)
                 n += 1
         if n == 0:
-            os.remove(path)
+            os.remove(tmp)
             return iter([])
+        os.rename(tmp, final)
         return iter([1])
 
     files = (

@@ -44,9 +44,13 @@ def _dedup_fn(key, pdfs, state: GroupState):
     else:
         best = None
         for pdf in pdfs:
-            for _, row in pdf.iterrows():
-                if best is None or (row["path_key"] or "") < (best["path_key"] or ""):
-                    best = row
+            if not len(pdf):
+                continue
+            # vectorized min-path row (groups are per-URL, but batches can
+            # still carry many rediscovery rows for a hot URL)
+            cand = pdf.loc[pdf["path_key"].fillna("").idxmin()]
+            if best is None or (cand["path_key"] or "") < (best["path_key"] or ""):
+                best = cand
         emitted = state.get[0] if state.exists else False
         if best is not None and not emitted:
             state.update((True, best["path_key"]))

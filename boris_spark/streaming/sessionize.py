@@ -12,9 +12,10 @@ ever seen in the state store — appears nowhere in the production path.
 Draining a finite file source with Trigger.AvailableNow under append mode
 needs the watermark to advance PAST the last real session before the query
 terminates; :func:`run_sessionize_append` stages the source files plus one
-far-future sentinel event (processed last via file modification order +
-maxFilesPerTrigger=1), so every real session closes, appends to the parquet
-sink, and the sentinel's own session is the only state left behind.
+far-future sentinel event. The whole source drains in one data micro-batch;
+the watermark then advances past every real session (the sentinel
+guarantees it) and the trailing no-data micro-batch flushes them all to the
+sink, leaving only the sentinel's own session in state.
 """
 
 from __future__ import annotations
@@ -142,5 +143,63 @@ def run_sessionize_append(
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    q.awaitTermination(600)
+    if not q.awaitTermination(600):
+        # timed out: the sink is partial — reading it as final would
+        # silently under-report sessions
+        q.stop()
+        raise TimeoutError(
+            "sessionize drain did not terminate within 600s; parquet sink "
+            f"at {out} is incomplete"
+        )
     return spark.read.parquet(out).where(F.col("user_id") != SENTINEL_USER)
+
+
+def sessionize_throughput(
+    spark: SparkSession,
+    source_dir: str,
+    workdir: str,
+    glob: str = "*.parquet",
+    schema: str = EVENTS_SCHEMA,
+    n_files: int = 8,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> dict:
+    """Throughput-mode measurement of the CONTINUOUS streaming form: the
+    same session_window + watermark plan driven through ``n_files``
+    consecutive micro-batches (maxFilesPerTrigger=1) into a noop sink,
+    reporting steady-state events/s. This is the number that scales with
+    cores — the finite-drain wall of :func:`run_sessionize_append` is
+    dominated by per-micro-batch state-store fixed cost, which is why it
+    looks anti-scaling at high parallelism on tiny inputs (adjudicated in
+    BENCH/BASELINE.md)."""
+    import time
+
+    src = os.path.join(workdir, "src")
+    batch = (
+        spark.read.schema(schema).option("pathGlobFilter", glob)
+        .parquet(source_dir)
+    )
+    n_events = batch.count()
+    batch.repartition(n_files).write.mode("overwrite").parquet(src)
+    sdf = stream_sessionize(
+        spark, src, gap=gap, watermark=watermark, schema=schema,
+        glob="*.parquet", max_files_per_trigger=1,
+    )
+    t0 = time.time()
+    q = (
+        sdf.writeStream.format("noop")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("sessionize throughput run did not terminate")
+    wall = time.time() - t0
+    return {
+        "events": n_events,
+        "micro_batches": n_files,
+        "wall_s": round(wall, 2),
+        "events_per_sec": round(n_events / wall, 1),
+    }

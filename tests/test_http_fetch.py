@@ -128,3 +128,14 @@ def server_cookies():
     threading.Thread(target=srv.serve_forever, daemon=True).start()
     yield f"http://127.0.0.1:{srv.server_port}"
     srv.shutdown()
+
+
+def test_fetch_one_file_scheme(tmp_path):
+    """file:// dispatch (file.rkt:41-47): body = file contents, empty head;
+    a missing file behaves like any failed fetch (0, "")."""
+    p = tmp_path / "doc.html"
+    p.write_text("<html><body><p>from disk</p></body></html>")
+    status, body, head = fetch_one(f"file://{p}")
+    assert (status, body, head) == (200, p.read_text(), ("", []))
+    status, body, _ = fetch_one(f"file://{tmp_path}/missing.html")
+    assert (status, body) == (0, "")
