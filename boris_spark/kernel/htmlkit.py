@@ -26,13 +26,19 @@ matches as HTML strings):
   is ``&[^;]*;``; unknown entities are left intact. Do NOT swap in
   ``html.unescape`` — it would break byte-identity with the reference.
 
-Parser note: the reference's ``html->xexp`` decodes known entities in text
-and ``xexp->html`` re-encodes them on serialization. We instead keep text and
-attribute values verbatim in both directions — for well-formed entities the
-two round-trips agree byte-for-byte, and one shared kernel (used by the
-oracle *and* the Spark UDFs) makes extracted text byte-identical between
-them by construction, which is the actual per-row invariant (BASELINE.json
-``input_hint``).
+Parser note — the pinned entity decision: the reference's third-party
+``html->xexp`` decodes known entities in text and ``xexp->html`` re-encodes
+them on serialization. This kernel keeps text and attribute values VERBATIM
+in both directions, and applies the reference's 4-entity decode exactly
+where the reference calls it explicitly (form actions via
+``html_decode_star``, the public ``html-decode`` API). For ``&amp;``-class
+entities the two round-trips agree byte-for-byte; for e.g. ``&#x2f;`` inside
+element text they differ (reference: decoded to ``/``; here: verbatim) —
+the deliberate trade is that one shared kernel (used by the oracle *and*
+the Spark UDFs) makes extracted text byte-identical between them by
+construction, which is the actual per-row invariant (BASELINE.json
+``input_hint``). Pinned by golden vectors in tests/test_kernel_golden.py
+("entity handling inside text nodes").
 """
 
 from __future__ import annotations
@@ -167,14 +173,17 @@ def serialize(node: Node) -> str:
 
 # ---------------------------------------------------------------- xpath
 
-# Supported grammar (the full surface used by the reference + its tests):
+# Supported grammar (the full surface used by the reference + its tests,
+# plus the three most-reached-for scraping forms: parent step `..`,
+# `[last()]`, attribute-existence `[@attr]`):
 #   path      := '(' path ')[' INT ']' | alt
 #   alt       := steps ('|' steps)*
 #   steps     := ('/' | '//') step ( ('/' | '//') step )*
-#   step      := test predicate*
+#   step      := test predicate* | '..'
 #   test      := NAME | '*' | '@' NAME | 'text()'
-#   predicate := '[' INT ']' | '[@' NAME '=' QUOTED ']'
-#              | '[text() =? QUOTED]' | '[position() OP INT]'
+#   predicate := '[' INT ']' | '[last()]' | '[@' NAME '=' QUOTED ']'
+#              | '[@' NAME ']' | '[text() =? QUOTED]'
+#              | '[position() OP INT]'
 
 
 @dataclass
@@ -186,6 +195,7 @@ class _Step:
 
 _GROUP_IDX_RE = re.compile(r"^\((.*)\)\s*\[(\d+)\]$", re.S)
 _PRED_ATTR_RE = re.compile(r"^@([\w:-]+)\s*=\s*(?:'([^']*)'|\"([^\"]*)\")$")
+_PRED_HAS_ATTR_RE = re.compile(r"^@([\w:-]+)$")
 _PRED_TEXT_RE = re.compile(r"^text\(\)\s*=\s*(?:'([^']*)'|\"([^\"]*)\")$")
 _PRED_POS_RE = re.compile(r"^position\(\)\s*(>=|<=|>|<|=)\s*(\d+)$")
 
@@ -222,9 +232,9 @@ def _split_top(s: str, sep: str) -> list[str]:
 # beyond it fails loudly with this message rather than silently matching
 # nothing.
 _XPATH_SUBSET = (
-    "steps `/name` `//name`, attribute step `@attr`, `text()`, "
-    "predicates `[n]` `[@attr='value']` `[text() = 'value']`, "
-    "top-level union `a | b`"
+    "steps `/name` `//name` `/..`, attribute step `@attr`, `text()`, "
+    "predicates `[n]` `[last()]` `[@attr='value']` `[@attr]` "
+    "`[text() = 'value']` `[position() op n]`, top-level union `a | b`"
 )
 
 
@@ -288,9 +298,16 @@ def _parse_steps(path: str) -> list[_Step]:
             if p.isdigit():
                 preds.append(("index", int(p)))
                 continue
+            if p == "last()":
+                preds.append(("last",))
+                continue
             m = _PRED_ATTR_RE.match(p)
             if m:
                 preds.append(("attr", m.group(1).lower(), m.group(2) if m.group(2) is not None else m.group(3)))
+                continue
+            m = _PRED_HAS_ATTR_RE.match(p)
+            if m:
+                preds.append(("has_attr", m.group(1).lower()))
                 continue
             m = _PRED_TEXT_RE.match(p)
             if m:
@@ -304,7 +321,13 @@ def _parse_steps(path: str) -> list[_Step]:
                 f"unsupported xpath predicate: {p!r}. Supported subset: "
                 f"{_XPATH_SUBSET}"
             )
-        steps.append(_Step("desc" if axis == "desc" else "child", test.strip(), preds))
+        test = test.strip()
+        if test == ".." and axis == "desc":
+            raise ValueError(
+                f"`//..` is not in the subset (use `/..`). Supported subset: "
+                f"{_XPATH_SUBSET}"
+            )
+        steps.append(_Step("desc" if axis == "desc" else "child", test, preds))
     return steps
 
 
@@ -330,6 +353,14 @@ def _apply_preds(nodes: list[Node], preds: list[tuple]) -> list[Node]:
         kind = p[0]
         if kind == "index":
             nodes = [nodes[p[1] - 1]] if len(nodes) >= p[1] else []
+        elif kind == "last":
+            nodes = nodes[-1:]
+        elif kind == "has_attr":
+            name = p[1]
+            nodes = [
+                nd for nd in nodes
+                if isinstance(nd, Element) and any(k == name for k, _ in nd.attrs)
+            ]
         elif kind == "pos":
             op, k = p[1], p[2]
             ops = {
@@ -375,10 +406,35 @@ def _step_desc(ctx: Element, step: _Step) -> list[Node]:
     return out
 
 
+def _build_parents(node: Node, pm: dict[int, Element]) -> None:
+    if isinstance(node, Element):
+        for c in node.children:
+            pm[id(c)] = node
+            _build_parents(c, pm)
+
+
 def _eval_steps(roots: list[Node], steps: list[_Step]) -> list[Node]:
     ctx: list[Node] = roots
+    parent_map: dict[int, Element] | None = None
     for step in steps:
-        nxt: list[Node] = []
+        if step.test == "..":
+            # parent step: lazily index child→parent once per query; the
+            # node-set is deduped in first-appearance order (XPath parent
+            # axis semantics). Predicates apply to the collected set.
+            # Synthetic @attr nodes have no parent and drop out.
+            if parent_map is None:
+                parent_map = {}
+                for r in roots:
+                    _build_parents(r, parent_map)
+            nxt, seen = [], set()
+            for node in ctx:
+                par = parent_map.get(id(node))
+                if par is not None and id(par) not in seen:
+                    seen.add(id(par))
+                    nxt.append(par)
+            ctx = _apply_preds(nxt, step.preds)
+            continue
+        nxt = []
         for node in ctx:
             if not isinstance(node, Element):
                 continue

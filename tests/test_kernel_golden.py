@@ -248,3 +248,76 @@ def test_xpath_union_order():
     # forms.rkt:81: "/input/@name/text() | /input/@id/text()" — name first
     inp = '<input id="foo" name="baz" value="bar">'
     assert xpath(inp, "/input/@name/text() | /input/@id/text()") == ["baz", "foo"]
+
+
+# ---- round-3 subset broadening: `..`, `[last()]`, `[@attr]` -------------
+
+
+def test_xpath_parent_step():
+    html = "<div><ul><li id='a'>x</li></ul><p>y</p></div>"
+    # parent of the matched <li> is the <ul>
+    assert xpath(html, "//li/..") == ["<ul><li id=\"a\">x</li></ul>"]
+
+
+def test_xpath_parent_dedup():
+    # two <li> children share one parent: the parent node-set is deduped
+    html = "<ul><li>a</li><li>b</li></ul>"
+    assert xpath(html, "//li/..") == ["<ul><li>a</li><li>b</li></ul>"]
+
+
+def test_xpath_parent_then_step():
+    html = "<div><span class='k'>key</span><b>val</b></div>"
+    assert xpath_text(html, "//span[@class='k']/../b") == ["val"]
+
+
+def test_xpath_last_predicate():
+    html = "<ul><li>a</li><li>b</li><li>c</li></ul>"
+    assert xpath_text(html, "//li[last()]") == ["c"]
+
+
+def test_xpath_attr_existence_predicate():
+    html = "<div><a href='x'>with</a><a>without</a></div>"
+    assert xpath_text(html, "//a[@href]") == ["with"]
+    assert xpath_text(html, "//a") == ["with", "without"]
+
+
+def test_xpath_desc_parent_rejected():
+    import pytest
+
+    with pytest.raises(ValueError):
+        xpath("<p>x</p>", "//..")
+
+
+# ---- entity handling inside text nodes: pinned VERBATIM ------------------
+# Decision (kernel/htmlkit.py module docstring): text and attribute values
+# are kept verbatim through parse and serialize. The reference's 4-entity
+# decode (html-entities.rkt:28-47) is applied exactly where the reference
+# applies it EXPLICITLY (form actions, html-decode calls); the implicit
+# entity decoding done by its third-party html->xexp parser is deliberately
+# not replicated — the engine/oracle share this kernel, so extracted text
+# stays byte-identical between them (the north-rule invariant).
+
+
+def test_text_entities_verbatim_amp():
+    assert xpath_text("<p>a&amp;b</p>", "//p") == ["a&amp;b"]
+
+
+def test_text_entities_verbatim_numeric():
+    assert xpath_text("<p>a&#x2f;b</p>", "//p") == ["a&#x2f;b"]
+
+
+def test_text_entities_verbatim_roundtrip():
+    # serialize-back also preserves the raw bytes
+    assert xpath("<div><p>x&amp;y&#38;z</p></div>", "//p") == ["<p>x&amp;y&#38;z</p>"]
+
+
+def test_entity_decode_explicit_api():
+    # the EXPLICIT decode API still follows html-entities.rkt exactly
+    assert html_decode("a&amp;b&#x2f;c") == "a&b/c"
+    assert html_decode_star("&#38;#38;") == "&"
+
+
+def test_form_action_entity_decoded():
+    # forms.rkt: the action attribute IS decoded (via html_decode_star)
+    f = forms("<form action='/go&#x2f;deep'><input name='n'></form>", {})
+    assert f[0][0] == "/go/deep"
