@@ -96,6 +96,11 @@ class BloomShardStore:
             )
             self.shards[int(bucket)] = merge_bitsets(self.shards.get(int(bucket)), bs)
 
+    def merge_shard(self, bucket: int, bits: bytes) -> None:
+        """Fold one pre-built shard bitset in (the distributed-fold path:
+        executors build per-bucket bitsets, the driver only ORs them)."""
+        self.shards[int(bucket)] = merge_bitsets(self.shards.get(int(bucket)), bits)
+
     def filter_frame(self, pdf: pd.DataFrame) -> np.ndarray:
         """Vector of maybe-seen booleans for (bucket, url_hash) rows."""
         result = np.zeros(len(pdf), dtype=bool)

@@ -37,7 +37,7 @@ snapshot/lineage semantics on a real cluster.
 
 from __future__ import annotations
 
-import json
+
 import os
 import time
 from dataclasses import dataclass
@@ -48,7 +48,11 @@ from pyspark.sql import functions as F
 from ..oracle import program as P
 from .bloom import BloomShardStore
 from .compiler import NodeSpec, compile_program
-from .udfs import CASCADE_SCHEMA, make_cascade_fn, make_fused_fn
+from .tableformat import ParquetManifestFormat, TableFormat
+from .udfs import (
+    CASCADE_SCHEMA, MEMO_JOINABLE_KINDS, make_cascade_fn, make_fused_fn,
+    make_replay_fn,
+)
 
 REQUEST_SCHEMA = (
     "pc long, url_canon string, url_full string, url_hash long, host string, "
@@ -56,6 +60,23 @@ REQUEST_SCHEMA = (
     "cookies string"
 )
 APPLY_SCHEMA = "pc long, cur_url string, cur_full string, bindings string, path_key string"
+
+# durable-sink schemas, passed to the TableFormat reads so no round ever
+# pays a parquet schema-inference job
+SEEN_SCHEMA = (
+    "url_hash long, url_canon string, host string, bucket int, status int, "
+    "path_first string"
+)
+STORE_SCHEMA = "url_canon string, body string, status int, head string"
+CASCADE_SINK_SCHEMA = (
+    "kind string, pc long, cur_url string, cur_full string, bindings string, "
+    "path_key string, url_canon string, url_full string, url_hash long, "
+    "host string, referer string, method string, payload string, "
+    "value string, vkind string, status int, cookies string"
+)
+# memo sink = the kind='memo' partition adopted out of gen-1 snapshots:
+# every CASCADE column except the partition column itself
+MEMO_SINK_SCHEMA = CASCADE_SCHEMA.split(", ", 1)[1]
 
 _REQ_COLS = [
     "pc", "url_canon", "url_full", "url_hash", "host",
@@ -89,9 +110,14 @@ class CrawlEngine:
         http_timeout: float = 10.0,
         fetch_fn=None,  # callable mode: list[url] -> list[(body, status)]
         broadcast_seen_limit: int = 2_000_000,  # max `maybe` rows to broadcast
+        table_format: TableFormat | None = None,
     ):
         self.spark = spark
         self.workdir = workdir
+        # the Iceberg seam: all durable sinks (frontier/seen/store/cascade)
+        # and round commits go through this interface (tableformat.py);
+        # parquet+manifests by default, IcebergFormat on a real cluster
+        self.table = table_format or ParquetManifestFormat(spark, workdir)
         self.politeness_k = politeness_k
         self.n_buckets = n_buckets
         self.salt_parts = salt_parts
@@ -134,36 +160,33 @@ class CrawlEngine:
     def _path(self, *parts: str) -> str:
         return os.path.join(self.workdir, *parts)
 
+    _SINK_SCHEMAS = {
+        "seen": SEEN_SCHEMA,
+        "store": STORE_SCHEMA,
+        "cascade": CASCADE_SINK_SCHEMA,
+        "frontier": REQUEST_SCHEMA,
+        "memo": MEMO_SINK_SCHEMA,
+    }
+
     def _append(self, df: DataFrame, sink: str, rnd: int) -> None:
-        df.write.mode("overwrite").parquet(self._path(sink, f"round={rnd}"))
+        self.table.write_delta(df, sink, rnd)
 
     def _read_sink(self, sink: str) -> DataFrame | None:
-        path = self._path(sink)
-        if not os.path.isdir(path):
-            return None
-        return self.spark.read.option("basePath", path).parquet(path + "/round=*")
+        return self.table.read_sink(sink, self._SINK_SCHEMAS.get(sink))
 
     def _empty(self, schema: str) -> DataFrame:
         return self.spark.createDataFrame([], schema)
 
     @staticmethod
     def _pq_rows(path: str) -> int:
-        """Row count from parquet footers — no Spark job."""
+        """Row count from parquet footers (transient cascade dirs) — no
+        Spark job."""
         import pyarrow.parquet as pq
 
         return sum(
             pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
             for f in os.listdir(path) if f.endswith(".parquet")
         )
-
-    @staticmethod
-    def _pq_read(path: str, columns=None):
-        """Small-delta driver-side parquet read — no Spark job. At design
-        scale this becomes a distributed read; the deltas here are one
-        round's fetch keys."""
-        import pyarrow.parquet as pq
-
-        return pq.read_table(path, columns=columns).to_pandas()
 
     # -------------------------------------------------------------- run
 
@@ -180,8 +203,18 @@ class CrawlEngine:
         self.node_table = compile_program(root)
         self._cascade_fn = make_cascade_fn(self.node_table)
         self._fanout_fn = make_cascade_fn(self.node_table, fanout=True)
+        self._replay_fn = make_replay_fn(self.node_table)
+        # eval-output-cache replays (JVM join instead of Python re-eval)
+        # are exact only for straight navigate/extract programs — see
+        # MEMO_JOINABLE_KINDS
+        self._memo_joinable = all(
+            spec.kind in MEMO_JOINABLE_KINDS
+            for spec in self.node_table.values()
+        )
         if self.fetch_mode == "callable":
-            self._fused_fn = make_fused_fn(self.node_table, self.fetch_fn)
+            self._fused_fn = make_fused_fn(
+                self.node_table, self.fetch_fn, emit_memo=self._memo_joinable
+            )
 
         start_round = 0
         if resume:
@@ -206,11 +239,11 @@ class CrawlEngine:
         total_fetched = 0
         total_results = 0
         while rnd < max_rounds:
-            # frontier row count from parquet footers — no Spark job
-            n_req = self._pq_rows(self._path("frontier", f"round={rnd}"))
+            # frontier row count from delta metadata — no Spark job
+            n_req = self.table.delta_rows("frontier", rnd)
             if n_req == 0:
                 break
-            requests = self.spark.read.parquet(self._path("frontier", f"round={rnd}"))
+            requests = self.table.delta_df("frontier", rnd, REQUEST_SCHEMA)
             rt0 = time.time()
             _, fetched, n_results, metrics = self._round(requests, rnd, n_req)
             total_fetched += fetched
@@ -331,23 +364,8 @@ class CrawlEngine:
         self._append(seen_delta, "seen", rnd)
         _mark("fetch+seen_write")
 
-        # single driver-side read-back of this round's (small) seen delta
-        # drives the bloom fold, the fetch metrics, and the per-partition
-        # lineage — zero extra Spark jobs (at design scale the bloom fold
-        # becomes a distributed applyInPandas and the metrics a groupBy)
-        delta_pdf = self._pq_read(
-            self._path("seen", f"round={rnd}"),
-            columns=["bucket", "url_hash", "host", "status", "url_canon"],
-        )
+        n_fetched, lineage = self._fold_seen_delta(rnd)
         _mark("delta_readback")
-        if self.bloom is not None:
-            self.bloom.add_delta(delta_pdf[["bucket", "url_hash"]])
-        n_fetched = int((delta_pdf["status"] != 999).sum())
-        lineage = [
-            {"bucket": int(b), "fetched": int(g["status"].ne(999).sum()),
-             "hosts": int(g["host"].nunique())}
-            for b, g in delta_pdf.groupby("bucket")
-        ]
 
         # requests whose url is now fetched/blocked/previously-seen proceed;
         # the rest (over politeness budget) defer to the next round. Routing
@@ -369,46 +387,43 @@ class CrawlEngine:
         ok = routed.where(F.col("_ok"))
         deferred = routed.where(F.col("_ok").isNull())
 
-        # attach bodies to the proceeding requests only, straight into the
-        # cascade's Arrow batches; missing page (404) => empty body
-        with_body = ok.join(self._body_source(), "url_canon", "left")
+        # attach bodies via the cogrouped replay (make_replay_fn): slim
+        # request rows grouped with the pages table's single row per url —
+        # each page body crosses one exchange and enters Python once per
+        # url, never a per-path join or a body-carrying sort. Missing page
+        # (404) => empty body; robots-blocked urls (any round's block: the
+        # seen sink already holds this round's delta) traverse with an
+        # empty body even when the snapshot table has content for them.
         if self.robots is not None:
-            # robots-blocked pages traverse with an empty body even when the
-            # snapshot table has content for them (any round's block: the
-            # seen sink already holds this round's delta)
             blocked_all = self._read_sink("seen").where(F.col("status") == 999)
-            with_body = (
-                with_body.join(
-                    blocked_all.select("url_canon", F.lit(True).alias("_blk")),
+            ok = (
+                ok.join(
+                    blocked_all.select("url_canon", F.lit(True).alias("_pblk")),
                     "url_canon", "left",
                 )
-                .withColumn(
-                    "body", F.when(F.col("_blk"), F.lit("")).otherwise(F.col("body"))
-                )
-                .drop("_blk")
+                .withColumn("_blk", F.coalesce(F.col("_pblk"), F.lit(False)))
+                .drop("_pblk")
             )
-
-        # fan to children of the navigate node: done INSIDE the first
-        # cascade generation's Arrow batch (node_table is driver-static) —
-        # no join, and each page body crosses into Python exactly once
-        apply0_cols = [
-            "pc",
-            F.col("url_canon").alias("cur_url"),
-            F.col("url_full").alias("cur_full"),
-            "bindings",
-            "path_key",
-            F.coalesce("body", F.lit("")).alias("body"),
-            "method",
-            "cookies",
-        ]
-        if "head" in with_body.columns:
-            apply0_cols.append("head")
-        apply0 = with_body.select(*apply0_cols)
+        else:
+            ok = ok.withColumn("_blk", F.lit(False))
+        ok_urls = ok.select("url_canon").distinct()
+        pages_src = self._body_source().join(
+            F.broadcast(ok_urls), "url_canon", "left_semi"
+        )
+        ok_slim = ok.select(
+            "pc", "url_canon", "url_full", "bindings", "path_key",
+            "method", "cookies", "_blk",
+        )
+        out1 = (
+            ok_slim.groupby("url_canon")
+            .cogroup(pages_src.groupby("url_canon"))
+            .applyInPandas(self._replay_fn, CASCADE_SCHEMA)
+        )
 
         # results-sink keys: (rnd+1)*1000+gen — the pre-round init cascade
         # owns the 0..999 key space
         _mark("pre_cascade")
-        new_requests, n_results, _ = self._cascade(apply0, rnd + 1, fanout=True)
+        new_requests, n_results, _ = self._cascade(None, rnd + 1, first_out=out1)
         _mark("cascade")
         frontier_next = new_requests.unionByName(
             deferred.select(*_REQ_COLS)
@@ -442,13 +457,14 @@ class CrawlEngine:
         url per crawl); their bodies come back once on the ``fetched`` rows
         and persist to the store sink — the crash-resumable page cache.
         CACHE-HIT traversals (urls fetched in an earlier round, or
-        robots-blocked replays) never reach fetch_fn: their bodies join in
-        from the store and they evaluate through the ordinary fan-out
-        cascade — the memoized replay of browser-services.rkt:36-40, correct
-        for live/non-deterministic fetchers (round 1 re-fetched cache hits,
-        bypassing the politeness budget). All routing frames are slim; body
-        bytes flow fetch→Arrow→store once and store→Arrow once per replaying
-        round."""
+        robots-blocked replays) never reach fetch_fn: they evaluate through
+        the cogrouped store replay (make_replay_fn) — the memoized replay
+        of browser-services.rkt:36-40, correct for live/non-deterministic
+        fetchers (round 1 re-fetched cache hits, bypassing the politeness
+        budget). All routing frames are slim; body bytes flow
+        fetch→Arrow→store once, and per replaying round each body crosses
+        one cogroup exchange + one Arrow boundary — never a per-path join,
+        a body sort, or a dedup shuffle."""
         decided = selected.select(
             "url_canon", F.lit(True).alias("_fresh"), F.lit(False).alias("_blk")
         ).unionByName(
@@ -499,81 +515,134 @@ class CrawlEngine:
             .sortWithinPartitions("url_canon", "pc", "bindings")
             .mapInPandas(self._fused_fn, CASCADE_SCHEMA)
         )
-        # cache-hit replay: bodies join in from the store sink (missing →
-        # empty body: a url seen but never stored, e.g. robots-blocked),
-        # then the ordinary fan-out cascade evaluates them — identical
-        # semantics to a fresh fetch because fetch memoization replays the
-        # SAME response per url (browser-services.rkt:36-40). The store is
-        # pre-filtered to this round's replayed urls via a broadcast
-        # semi-join of the SLIM url set, so the growing body-carrying store
-        # is only scanned — a plain left join would have to sort-merge the
-        # whole store (bodies shuffled) because a left-outer join cannot
-        # broadcast its left side.
-        replay_urls = replay.select("url_canon").distinct()
-        body_src = (
-            self._body_source()
-            .join(F.broadcast(replay_urls), "url_canon", "left_semi")
-            # the store may hold one fetched row per Arrow batch for a url
-            # whose requests straddled a batch boundary — replay needs one
-            .dropDuplicates(["url_canon"])
+        # cache-hit replay: COGROUPED with the store sink on url_canon
+        # (make_replay_fn) — each group is one url: slim replay rows on the
+        # left, the url's single store row (body/head/status) on the right.
+        # A page body crosses exactly one shuffle (the cogroup exchange of
+        # the one-row-per-url store side, pre-filtered to this round's
+        # replayed urls via a broadcast semi-join of the SLIM url set) and
+        # is never joined per path, never sorted, never duplicated —
+        # identical semantics to a fresh fetch because fetch memoization
+        # replays the SAME response per url (browser-services.rkt:36-40).
+        # Missing store row (url seen but never stored, e.g. robots-
+        # blocked) → empty body.
+        replay_slim = replay.select(
+            "pc", "url_canon", "url_full", "bindings", "path_key",
+            "method", "cookies", "_blk",
         )
-        replay_b = replay.join(body_src, "url_canon", "left")
-        body_col = F.when(F.col("_blk"), F.lit("")).otherwise(
-            F.coalesce("body", F.lit(""))
-        )
-        apply0_cols = [
-            "pc",
-            F.col("url_canon").alias("cur_url"),
-            F.col("url_full").alias("cur_full"),
-            "bindings",
-            "path_key",
-            body_col.alias("body"),
-            "method",
-            "cookies",
-        ]
-        if "head" in replay_b.columns:
-            apply0_cols.append(
-                F.when(F.col("_blk"), F.lit(None)).otherwise(F.col("head")).alias("head")
+        # eval-output-cache replay: for memo-joinable programs (straight
+        # navigate/extract — the dominant crawl shape), a cached url's
+        # replay is a pure JVM JOIN against the memo sink: match the input
+        # state (url, pc, url_full, bindings, method, pre-fold jar), emit
+        # the cached request/result rows with path_key = prefix ++ suffix.
+        # No page body is read, parsed, or re-evaluated — at 10^10 URLs,
+        # re-extracting a hub page once per new referring path is the
+        # dominant wasted work, and this removes it entirely. Misses
+        # (states never evaluated at fetch time, e.g. a branch arriving
+        # with a different cookie jar) and robots-blocked branches fall
+        # back to the cogrouped Python replay, which is always exact.
+        out_jvm = None
+        py_replay = replay_slim
+        memo = self._read_sink("memo") if self._memo_joinable else None
+        if memo is not None:
+            jr = replay_slim.where(~F.col("_blk"))
+            jr_urls = jr.select("url_canon").distinct()
+            memo_f = memo.join(
+                F.broadcast(jr_urls),
+                memo["cur_url"] == jr_urls["url_canon"], "left_semi",
+            ).persist()  # scanned by both the hit join and the anti join
+            self._round_persists.append(memo_f)
+            cond = (
+                (jr["url_canon"] == memo_f["cur_url"])
+                & (jr["pc"] == memo_f["mk_pc"])
+                & jr["url_full"].eqNullSafe(memo_f["mk_full"])
+                & jr["bindings"].eqNullSafe(memo_f["mk_bindings"])
+                & (
+                    F.coalesce(jr["method"], F.lit("GET"))
+                    == F.coalesce(memo_f["mk_method"], F.lit("GET"))
+                )
+                & jr["cookies"].eqNullSafe(memo_f["mk_cookies"])
             )
-        out1b = (
-            replay_b.select(*apply0_cols)
-            .sortWithinPartitions("cur_url", "pc", "bindings")
-            .mapInPandas(self._fanout_fn, CASCADE_SCHEMA)
+            nl = lambda t: F.lit(None).cast(t)  # noqa: E731
+            out_jvm = (
+                jr.join(memo_f, cond, "inner")
+                .where(memo_f["mk"].isin("request", "result"))
+                .select(
+                    memo_f["mk"].alias("kind"),
+                    memo_f["pc"].alias("pc"),
+                    nl("string").alias("cur_url"),
+                    nl("string").alias("cur_full"),
+                    memo_f["bindings"].alias("bindings"),
+                    F.concat(jr["path_key"], memo_f["path_key"]).alias("path_key"),
+                    memo_f["url_canon"].alias("url_canon"),
+                    memo_f["url_full"].alias("url_full"),
+                    memo_f["url_hash"].alias("url_hash"),
+                    memo_f["host"].alias("host"),
+                    memo_f["referer"].alias("referer"),
+                    memo_f["method"].alias("method"),
+                    memo_f["payload"].alias("payload"),
+                    memo_f["value"].alias("value"),
+                    memo_f["vkind"].alias("vkind"),
+                    nl("string").alias("body"),
+                    memo_f["status"].alias("status"),
+                    nl("string").alias("head"),
+                    memo_f["cookies"].alias("cookies"),
+                    nl("string").alias("mk"),
+                    nl("long").alias("mk_pc"),
+                    nl("string").alias("mk_full"),
+                    nl("string").alias("mk_method"),
+                    nl("string").alias("mk_bindings"),
+                    nl("string").alias("mk_cookies"),
+                )
+            )
+            missed = jr.join(memo_f, cond, "left_anti")
+            py_replay = replay_slim.where(F.col("_blk")).unionByName(missed)
+        py_urls = py_replay.select("url_canon").distinct()
+        store_src = self._body_source().join(
+            F.broadcast(py_urls), "url_canon", "left_semi"
         )
+        out1b = (
+            py_replay.groupby("url_canon")
+            .cogroup(store_src.groupby("url_canon"))
+            .applyInPandas(self._replay_fn, CASCADE_SCHEMA)
+        )
+        first_out = out1.unionByName(out1b)
+        if out_jvm is not None:
+            first_out = first_out.unionByName(out_jvm)
         new_requests, n_results, gen_paths = self._cascade(
-            None, rnd + 1, first_out=out1.unionByName(out1b)
+            None, rnd + 1, first_out=first_out
         )
         _mark("fused_cascade")
 
         # persist this round's fetched bodies to the store sink (the page
-        # cache future rounds replay from) by RENAMING the kind=fetched
+        # cache future rounds replay from) by ADOPTING the kind=fetched
         # partition of the gen-1 snapshot — bodies hit disk exactly once
         # (the partitionBy('kind') write above), never re-written
-        import shutil
-
+        # (adopt_delta = Iceberg add-files fast-append, tableformat.py)
         fetched_dir = os.path.join(gen_paths[0], "kind=fetched")
-        store_dir = self._path("store", f"round={rnd}")
-        os.makedirs(self._path("store"), exist_ok=True)
-        if os.path.isdir(store_dir):
-            shutil.rmtree(store_dir)  # re-run of an interrupted round
-        if os.path.isdir(fetched_dir):
-            os.rename(fetched_dir, store_dir)
-            fetched_rows = self.spark.read.parquet(store_dir)
+        if self.table.adopt_delta(fetched_dir, "store", rnd):
+            fetched_rows = self.table.delta_df("store", rnd)
         else:
             fetched_rows = self._empty(CASCADE_SCHEMA).drop("kind")
+        if self._memo_joinable:
+            # the eval-output cache rides the same snapshot: adopt its
+            # kind=memo partition (slim rows — no bodies by construction)
+            self.table.adopt_delta(
+                os.path.join(gen_paths[0], "kind=memo"), "memo", rnd
+            )
         _mark("store_write")
 
-        # the round's seen delta, aggregated from the fused stage's per-batch
-        # 'fetched' emissions (column-pruned read of the gen-1 snapshot)
+        # the round's seen delta: per-url keys + DFS-min path come from the
+        # SLIM `selected` frame (pk = the round's min path, computed
+        # JVM-side — exact even when a url's rows straddled Arrow batches);
+        # the store contributes only status, via a column-pruned read of
+        # its duplicate-free one-row-per-url delta
         seen_delta = (
-            fetched_rows
-            .groupBy("url_canon")
-            .agg(
-                F.first("url_hash").alias("url_hash"),
-                F.first("host").alias("host"),
-                F.min("path_key").alias("path_first"),
-                F.min("status").alias("status"),
+            selected.select(
+                "url_canon", "url_hash", "host",
+                F.col("pk").alias("path_first"),
             )
+            .join(fetched_rows.select("url_canon", "status"), "url_canon")
             .withColumn(
                 "bucket", F.pmod(F.col("url_hash"), F.lit(self.n_buckets)).cast("int")
             )
@@ -591,18 +660,7 @@ class CrawlEngine:
         self._append(seen_delta, "seen", rnd)
         _mark("seen_write")
 
-        delta_pdf = self._pq_read(
-            self._path("seen", f"round={rnd}"),
-            columns=["bucket", "url_hash", "host", "status", "url_canon"],
-        )
-        if self.bloom is not None:
-            self.bloom.add_delta(delta_pdf[["bucket", "url_hash"]])
-        n_fetched = int((delta_pdf["status"] != 999).sum())
-        lineage = [
-            {"bucket": int(b), "fetched": int(g["status"].ne(999).sum()),
-             "hosts": int(g["host"].nunique())}
-            for b, g in delta_pdf.groupby("bucket")
-        ]
+        n_fetched, lineage = self._fold_seen_delta(rnd)
         _mark("delta_readback")
 
         frontier_next = new_requests.unionByName(deferred.select(*_REQ_COLS))
@@ -665,7 +723,7 @@ class CrawlEngine:
         )
         # slim return: bodies live in the store sink (= the body source for
         # the cascade's attach join); only keys + status flow onward
-        return self.spark.read.parquet(self._path("store", f"round={rnd}")).select(
+        return self.table.delta_df("store", rnd).select(
             "url_canon", "status"
         ).join(
             selected, "url_canon"
@@ -678,6 +736,21 @@ class CrawlEngine:
         if seen is None:
             return urls
         seen_keys = seen.select("url_hash", "url_canon")
+        # Adaptive: when this round's candidate set fits under the broadcast
+        # cap (known free, from the frontier delta's row count), the exact
+        # double-broadcast check covers EVERY candidate in one scan of the
+        # seen sink — the Bloom prefilter stage would only add an Arrow
+        # roundtrip + a persist to the round's critical path. Skip it; the
+        # shards still fold every round (_fold_seen_delta), so the prefilter
+        # is warm the moment a round's frontier exceeds the cap.
+        if (
+            n_candidates is not None
+            and n_candidates <= self.broadcast_seen_limit
+        ):
+            matched = seen_keys.select("url_canon").join(
+                F.broadcast(urls.select("url_canon")), "url_canon", "left_semi"
+            )
+            return urls.join(F.broadcast(matched), "url_canon", "left_anti")
         if self.bloom is not None and self.bloom.shards:
             # ship the shard map as a proper broadcast variable, re-broadcast
             # per round as the shards grow (the closure-capture shortcut
@@ -737,6 +810,71 @@ class CrawlEngine:
                 )
             return definitely_new.unionByName(checked)
         return urls.join(seen_keys, ["url_hash", "url_canon"], "left_anti")
+
+    def _fold_seen_delta(self, rnd: int) -> tuple[int, list[dict]]:
+        """Fold this round's seen delta into the Bloom shards and compute
+        the fetch metrics + per-partition lineage, gated by delta size:
+
+        - delta ≤ broadcast_seen_limit: ONE driver-side columnar read of the
+          (slim) delta, pandas fold — zero Spark jobs;
+        - above the gate: a distributed ``applyInPandas`` over the delta
+          builds per-bucket bitsets AND the lineage counters in one pass,
+          and only ``n_buckets`` rows of (bucket, bitset, counters) reach
+          the driver — the 10^10-URL form, where a round's delta never fits
+          on the driver. The driver only ORs pre-built bitsets.
+        """
+        n_delta = self.table.delta_rows("seen", rnd)
+        if n_delta <= self.broadcast_seen_limit:
+            delta_pdf = self.table.read_delta_pandas(
+                "seen", rnd,
+                columns=["bucket", "url_hash", "host", "status"],
+            )
+            if self.bloom is not None:
+                self.bloom.add_delta(delta_pdf[["bucket", "url_hash"]])
+            n_fetched = int((delta_pdf["status"] != 999).sum())
+            lineage = [
+                {"bucket": int(b), "fetched": int(g["status"].ne(999).sum()),
+                 "hosts": int(g["host"].nunique())}
+                for b, g in delta_pdf.groupby("bucket")
+            ]
+            return n_fetched, lineage
+
+        from .bloom import build_bitset
+
+        with_bits = self.bloom is not None
+        m_bits = self.bloom.m_bits if with_bits else 0
+        k = self.bloom.k if with_bits else 0
+
+        def fold(pdf):
+            import numpy as np
+            import pandas as pd
+
+            return pd.DataFrame([{
+                "bucket": int(pdf["bucket"].iloc[0]),
+                "bits": (
+                    build_bitset(
+                        pdf["url_hash"].to_numpy().astype(np.uint64), m_bits, k
+                    )
+                    if with_bits else b""
+                ),
+                "fetched": int((pdf["status"] != 999).sum()),
+                "hosts": int(pdf["host"].nunique()),
+            }])
+
+        rows = (
+            self.table.delta_df("seen", rnd, SEEN_SCHEMA)
+            .groupBy("bucket")
+            .applyInPandas(fold, "bucket int, bits binary, fetched long, hosts long")
+            .collect()
+        )
+        if with_bits:
+            for r in rows:
+                self.bloom.merge_shard(r["bucket"], bytes(r["bits"]))
+        lineage = [
+            {"bucket": r["bucket"], "fetched": r["fetched"], "hosts": r["hosts"]}
+            for r in sorted(rows, key=lambda r: r["bucket"])
+        ]
+        return sum(r["fetched"] for r in rows), lineage
 
     def _cascade(
         self,
@@ -806,7 +944,10 @@ class CrawlEngine:
                 self._append(
                     cas.where(
                         F.col("kind").isin("result", "request", "download")
-                    ).drop("body", "head"),
+                    ).drop(
+                        "body", "head", "mk", "mk_pc", "mk_full",
+                        "mk_method", "mk_bindings", "mk_cookies",
+                    ),
                     "cascade", key,
                 )
             if kinds.get("request", 0):
@@ -845,10 +986,9 @@ class CrawlEngine:
         # propagates 1-2 partitions into the CPU-heavy python stages), and it
         # must be ROUND-ROBIN — partitioning by host would put the Zipf hot
         # host's half of the frontier into one straggler task.
-        (
-            df.repartition(self.spark.sparkContext.defaultParallelism)
-            .write.mode("overwrite")
-            .parquet(self._path("frontier", f"round={rnd}"))
+        self.table.write_delta(
+            df.repartition(self.spark.sparkContext.defaultParallelism),
+            "frontier", rnd,
         )
 
     def _drop_tmp_sinks(self) -> None:
@@ -862,17 +1002,10 @@ class CrawlEngine:
         self._tmp_sink_paths.clear()
 
     def _write_manifest(self, rnd: int, metrics: dict) -> None:
-        os.makedirs(self._path("rounds"), exist_ok=True)
-        with open(self._path("rounds", f"{rnd}.json"), "w") as f:
-            json.dump(metrics, f)
+        self.table.commit_round(rnd, metrics)
 
     def _resume_round(self) -> int:
-        rounds_dir = self._path("rounds")
-        if not os.path.isdir(rounds_dir):
-            return 0
-        done = sorted(
-            int(f.split(".")[0]) for f in os.listdir(rounds_dir) if f.endswith(".json")
-        )
+        done = self.table.committed_rounds()
         return (done[-1] + 1) if done else 0
 
     # ------------------------------------------------------------ readers

@@ -48,6 +48,12 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.join.preferSortMergeJoin", "false")
+        # dynamic-partition writes (the crawl's partitionBy('kind')
+        # snapshots) must NOT sort rows by partition column first: the
+        # cascade output carries page bodies, and the planned-write sort
+        # buffers/spills gigabytes per round for a 4-value partition key.
+        # With the sort off each task keeps ≤4 open writers instead.
+        .config("spark.sql.optimizer.plannedWrite.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -32,18 +32,67 @@ CASCADE_SCHEMA = (
     "kind string, pc long, cur_url string, cur_full string, bindings string, path_key string, "
     "url_canon string, url_full string, url_hash long, host string, "
     "referer string, method string, payload string, value string, vkind string, body string, status int, head string, "
-    "cookies string"
+    "cookies string, "
+    # memo columns (kind='memo' rows — the eval-output cache that lets later
+    # rounds replay a cached url as a pure JVM join, see make_fused_fn):
+    # mk = the output row's real kind ('request'/'result', or 'mark' for the
+    # state-evaluated marker), mk_* = the INPUT-state key the outputs were
+    # computed under (parent pc, full url, bindings, method, pre-fold jar)
+    "mk string, mk_pc long, mk_full string, mk_method string, "
+    "mk_bindings string, mk_cookies string"
 )
 
 _COLS = [
     "kind", "pc", "cur_url", "cur_full", "bindings", "path_key", "url_canon",
     "url_full", "url_hash", "host", "referer", "method", "payload", "value",
     "vkind", "body", "status", "head", "cookies",
+    "mk", "mk_pc", "mk_full", "mk_method", "mk_bindings", "mk_cookies",
 ]
+
+# programs built only from these node kinds have outputs that are a pure
+# function of (pc, url, url_full, bindings, method, cookies) with
+# path_key = input_path + constant_suffix and NO body-carrying or
+# multi-generation outputs — exactly the class whose cache-hit replays can
+# run as a JVM join against the memo sink instead of re-evaluating bodies
+# in Python (let/for/label/recur/show produce 'apply' generations and
+# download emits the body itself, so they take the cogroup Python path)
+MEMO_JOINABLE_KINDS = frozenset(
+    {"go", "click", "submit", "extract", "extract_list"}
+)
 
 
 def _hx(i: int) -> str:
     return f"{i:08x}"
+
+
+# -- env-gated executor-side timing (BORIS_UDF_TIMING=1): per-worker totals
+# printed at interpreter exit; local-mode stderr shows them at spark.stop()
+_TIMING: dict[str, float] = {}
+
+
+def _timing_enabled() -> bool:
+    import os
+
+    return bool(os.environ.get("BORIS_UDF_TIMING"))
+
+
+_T_FLUSH = [0.0]
+
+
+def _t_add(name: str, dt: float) -> None:
+    import os
+    import time
+
+    _TIMING[name] = _TIMING.get(name, 0.0) + dt
+    now = time.time()
+    if now - _T_FLUSH[0] > 2.0:  # workers get SIGKILLed; flush to disk
+        _T_FLUSH[0] = now
+        d = "/tmp/boris_udf_timing"
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, str(os.getpid())), "w") as f:
+            f.write(
+                " ".join(f"{k}={v:.2f}" for k, v in sorted(_TIMING.items()))
+            )
 
 
 def _out_row(kind: str, **kw) -> dict:
@@ -161,7 +210,7 @@ def _eval_node(
 
 
 
-_INT_COLS = ("pc", "url_hash", "status")
+_INT_COLS = ("pc", "url_hash", "status", "mk_pc")
 
 
 def _frame(out: list[dict]) -> pd.DataFrame:
@@ -221,7 +270,7 @@ def _eval_memo(
         out.append(r2)
 
 
-def make_fused_fn(node_table: dict[int, NodeSpec], fetch_fn):
+def make_fused_fn(node_table: dict[int, NodeSpec], fetch_fn, emit_memo: bool = False):
     """Fused fetch+extract: ONE mapInPandas stage per crawl round.
 
     Input rows are the round's FRESH request rows only (REQUEST cols) —
@@ -246,7 +295,17 @@ def make_fused_fn(node_table: dict[int, NodeSpec], fetch_fn):
 
     import inspect
 
-    fetch_wants_cookies = len(inspect.signature(fetch_fn).parameters) >= 2
+    # Cookie support is declared EXPLICITLY: either an attribute flag
+    # (``fetch_fn.wants_cookies = True``) or a parameter literally named
+    # ``cookie_headers``. Arity-sniffing would silently feed the header list
+    # into an unrelated optional second parameter (e.g. batch_size=100).
+    try:
+        _params = inspect.signature(fetch_fn).parameters
+    except (TypeError, ValueError):
+        _params = {}
+    fetch_wants_cookies = bool(
+        getattr(fetch_fn, "wants_cookies", False) or "cookie_headers" in _params
+    )
 
     def fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..kernel.cookies import (
@@ -255,8 +314,19 @@ def make_fused_fn(node_table: dict[int, NodeSpec], fetch_fn):
         )
 
         memo: dict = {}
+        memo_states: set = set()
         memo_url = None
+        # cross-batch fetch memo: the partition is url-sorted, so only the
+        # LAST url of a batch can straddle into the next one — carrying that
+        # single response keeps "fetch_fn called exactly once per url per
+        # crawl" true across Arrow batch boundaries in O(1) memory (a url
+        # spanning 3+ batches chains through, it is last in each).
+        carry: dict[str, tuple] = {}
+        import time as _time
+
+        timing = _timing_enabled()
         for pdf in batches:
+            _t0 = _time.time()
             out: list[dict] = []
             cookies_col = (
                 pdf["cookies"] if "cookies" in pdf.columns else [None] * len(pdf)
@@ -271,7 +341,7 @@ def make_fused_fn(node_table: dict[int, NodeSpec], fetch_fn):
                 cur = fetch_row.get(url)
                 if cur is None or (path or "") < cur[0]:
                     fetch_row[url] = (path or "", full, cj)
-            need = sorted(fetch_row)
+            need = sorted(u for u in fetch_row if u not in carry)
             if fetch_wants_cookies:
                 headers = [
                     cookies_to_header(
@@ -285,6 +355,10 @@ def make_fused_fn(node_table: dict[int, NodeSpec], fetch_fn):
                 # or (body, status, head), head = (status line, header alist)
                 resps = fetch_fn(need) if need else []
             fetched = dict(zip(need, resps))
+            fetched.update(carry)
+            if timing:
+                _t_add("fused.fetch", _time.time() - _t0)
+                _t0 = _time.time()
             emitted: dict[str, int] = {}
             for pc, url, url_full, url_hash, host, bindings_json, path, method, cj in zip(
                 pdf["pc"], pdf["url_canon"], pdf["url_full"], pdf["url_hash"],
@@ -298,7 +372,13 @@ def make_fused_fn(node_table: dict[int, NodeSpec], fetch_fn):
                     body = ""
                 path = path or ""
                 i = emitted.get(url)
-                if i is None:
+                if i is None and url not in carry:
+                    # exactly ONE fetched row per url per crawl — a url
+                    # straddling into later batches is in `carry` and was
+                    # already emitted, so the store sink is duplicate-free
+                    # by construction (its path_key is informational; the
+                    # seen delta's path_first is computed JVM-side from the
+                    # round's request frame)
                     emitted[url] = len(out)
                     out.append(_out_row(
                         "fetched", url_canon=url, url_hash=url_hash,
@@ -306,7 +386,7 @@ def make_fused_fn(node_table: dict[int, NodeSpec], fetch_fn):
                         body=body,
                         head=json.dumps(list(head)) if head is not None else None,
                     ))
-                elif path < out[i]["path_key"]:
+                elif i is not None and path < out[i]["path_key"]:
                     out[i]["path_key"] = path
                 bindings_json = (
                     bindings_json if isinstance(bindings_json, str) else None
@@ -314,6 +394,7 @@ def make_fused_fn(node_table: dict[int, NodeSpec], fetch_fn):
                 url_full = url_full if isinstance(url_full, str) else None
                 method = method if isinstance(method, str) else "GET"
                 cj = cj if isinstance(cj, str) else None
+                cj_in = cj  # the memo key jar: pre-fold, what replays carry
                 # per-branch cookie fold: the response's Set-Cookie enters
                 # THIS branch's jar before its children run
                 # (hypertext-browser/base.rkt:78-94)
@@ -323,7 +404,9 @@ def make_fused_fn(node_table: dict[int, NodeSpec], fetch_fn):
                     )
                 if url != memo_url:
                     memo.clear()
+                    memo_states.clear()
                     memo_url = url
+                row_start = len(out)
                 for j, child in enumerate(node_table[int(pc)].child_ids):
                     _eval_memo(
                         memo, (child, url_full, bindings_json, method, cj),
@@ -331,9 +414,127 @@ def make_fused_fn(node_table: dict[int, NodeSpec], fetch_fn):
                         url, url_full, body, bindings_json, path + _hx(j), out,
                         head=head, method=method, cookies_json=cj,
                     )
-            yield _frame(out)
+                if emit_memo:
+                    # eval-output cache: once per distinct input state per
+                    # url, duplicate this row's outputs with suffix-only
+                    # paths + the state key — the memo sink later rounds
+                    # JOIN against (JVM concat of path prefixes) instead of
+                    # re-running the page through Python per replay branch.
+                    # The 'mark' row records states with ZERO outputs, so a
+                    # join miss means "state never evaluated", not "state
+                    # evaluated to nothing".
+                    skey = (int(pc), url_full, bindings_json, method, cj_in)
+                    if skey not in memo_states:
+                        memo_states.add(skey)
+                        n_out = len(out)
+                        mk_kw = dict(
+                            cur_url=url, mk_pc=int(pc), mk_full=url_full,
+                            mk_method=method, mk_bindings=bindings_json,
+                            mk_cookies=cj_in,
+                        )
+                        out.append(_out_row("memo", mk="mark", **mk_kw))
+                        for r in out[row_start:n_out]:
+                            m = dict(r)
+                            m["kind"] = "memo"
+                            m["mk"] = r["kind"]
+                            m["path_key"] = r["path_key"][len(path):]
+                            m.update(mk_kw)
+                            out.append(m)
+            if len(pdf):
+                last_url = pdf["url_canon"].iloc[-1]
+                carry = (
+                    {last_url: fetched[last_url]} if last_url in fetched else {}
+                )
+            if timing:
+                _t_add("fused.eval", _time.time() - _t0)
+                _t0 = _time.time()
+            f = _frame(out)
+            if timing:
+                _t_add("fused.frame", _time.time() - _t0)
+            yield f
 
     return fused
+
+
+def make_replay_fn(node_table: dict[int, NodeSpec]):
+    """Cogrouped store replay — the cache-hit half of a crawl round.
+
+    ``replay_slim.groupby(url).cogroup(store.groupby(url)).applyInPandas``:
+    each group is ONE url — left = its slim replay request rows (no
+    bodies), right = its single store row (body + head + status). The page
+    body therefore crosses exactly one shuffle (the cogroup exchange of the
+    store's one-row-per-url side) and is evaluated in place against every
+    replaying branch — zero body amplification. The previous shape
+    (dropDuplicates over the body-carrying store, a body join against every
+    replay row, then a sortWithinPartitions of body×paths rows) moved each
+    body through three body-heavy operators and multiplied it per path;
+    at 63 KB mean pages that sort alone spilled gigabytes per round.
+
+    Semantics identical to the fan-out cascade over store-joined bodies
+    (the memoized replay of browser-services.rkt:36-40): robots-blocked
+    branches (left._blk) see an empty body and no head; the store head's
+    Set-Cookie folds into each branch's jar before its children run."""
+
+    def replay(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        import time as _time
+
+        from ..kernel.cookies import jar_fold_head, jar_from_json, jar_to_json
+
+        timing = _timing_enabled()
+        _t0 = _time.time()
+        out: list[dict] = []
+        if not len(left):
+            return _frame(out)
+        body = ""
+        head_json = None
+        if len(right):
+            b = right["body"].iloc[0]
+            body = b if isinstance(b, str) else ""
+            if "head" in right.columns:
+                h = right["head"].iloc[0]
+                head_json = h if isinstance(h, str) else None
+        memo: dict = {}
+        cookies_col = (
+            left["cookies"] if "cookies" in left.columns else [None] * len(left)
+        )
+        blk_col = left["_blk"] if "_blk" in left.columns else [False] * len(left)
+        for pc, url, url_full, bindings_json, path, method, cj, blk in zip(
+            left["pc"], left["url_canon"], left["url_full"], left["bindings"],
+            left["path_key"], left["method"], cookies_col, blk_col,
+        ):
+            pc = int(pc)
+            url_full = url_full if isinstance(url_full, str) else None
+            bindings_json = (
+                bindings_json if isinstance(bindings_json, str) else None
+            )
+            method = method if isinstance(method, str) else "GET"
+            cj = cj if isinstance(cj, str) else None
+            path = path or ""
+            blk = bool(blk)
+            b = "" if blk else body
+            hj = None if blk else head_json
+            head = tuple(json.loads(hj)) if hj else None
+            if head is not None:
+                cj = jar_to_json(
+                    jar_fold_head(jar_from_json(cj), head, url_full or url)
+                )
+            for j, child in enumerate(node_table[pc].child_ids):
+                _eval_memo(
+                    memo, (child, url_full, bindings_json, method, cj, blk),
+                    node_table[child], node_table, child,
+                    url, url_full, b, bindings_json, path + _hx(j), out,
+                    head=head, method=method, cookies_json=cj,
+                )
+        if timing:
+            _t_add("replay.eval", _time.time() - _t0)
+            _t_add("replay.groups", 1e-9)
+            _t0 = _time.time()
+        f = _frame(out)
+        if timing:
+            _t_add("replay.frame", _time.time() - _t0)
+        return f
+
+    return replay
 
 
 def make_cascade_fn(node_table: dict[int, NodeSpec], fanout: bool = False):

@@ -492,3 +492,66 @@ def test_resume_callable_mode_with_store(spark, corpus, tmp_path):
     # tolerated and deduped at replay)
     store = eng2._read_sink("store").select("url_canon", "round").distinct()
     assert store.groupBy("url_canon").count().where("count > 1").count() == 0
+
+
+def test_fetch_once_across_arrow_batches(spark, tmp_path):
+    """A url whose request rows straddle an Arrow batch boundary is still
+    fetched exactly once: the fused stage carries the partition-tail url's
+    response across batches (udfs.py `carry`). 41 branches reach one url
+    with maxRecordsPerBatch=2, so its rows span ~20 batches."""
+    log = tmp_path / "calls"
+    log.mkdir()
+
+    def fetch_fn(urls):
+        import uuid as _uuid
+
+        (log / _uuid.uuid4().hex).write_text("\n".join(urls))
+        return [("<html><body><p>leaf</p></body></html>", 200) for _ in urls]
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        program = Go(
+            Lit(["http://x.test/a"] * 41),
+            Extract(First(XpathTextE("//p"))),
+        )
+        eng = CrawlEngine(
+            spark, None, str(tmp_path / "w"), politeness_k=None,
+            fetch_mode="callable", fetch_fn=fetch_fn,
+        )
+        eng.run(program, max_rounds=3)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    fetched = [
+        u for p in log.iterdir() for u in p.read_text().splitlines() if u
+    ]
+    assert fetched == ["http://x.test/a"], fetched
+    # and the extraction stream still fans out per branch
+    assert eng.results_df().count() == 41
+
+
+def test_parity_forced_distributed_paths(spark, corpus, tmp_path):
+    """broadcast_seen_limit=0 forces every at-scale branch the sandbox's
+    small rounds normally skip: the Bloom-prefilter + shuffle anti-join
+    seen check, and the distributed applyInPandas bloom fold (only
+    (bucket, bitset, counters) rows reach the driver). Parity must be
+    byte-identical to the oracle either way."""
+    _, pages_dict = corpus
+
+    def fetch_fn(urls):
+        return [
+            (pages_dict.get(u), 200 if u in pages_dict else 404) for u in urls
+        ]
+
+    seeds = webgen.seeds_for(N_PAGES, SEED)
+    program = flagship_program(seeds)
+    oracle = spider(program, SnapshotFetcher(pages_dict))
+    eng = CrawlEngine(
+        spark, None, str(tmp_path / "work"), politeness_k=7,
+        fetch_mode="callable", fetch_fn=fetch_fn, broadcast_seen_limit=0,
+    )
+    summary = eng.run(program, max_rounds=50)
+    assert summary.rounds > 3
+    assert_parity(oracle, eng)
+    # the distributed fold really populated the driver's shard map
+    assert eng.bloom is not None and eng.bloom.shards
