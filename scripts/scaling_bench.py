@@ -200,6 +200,37 @@ one compressed parquet write per fetched page: the price of correct
 memoization with live fetchers and of crash-resumable response storage (the
 reference's fs-dict semantics).
 
+Round-2 → round-3 replay-architecture note: cache-hit replays no longer
+move page bodies through a dedup shuffle, a per-path join, and a
+partition sort (round 2's shape — at 63 KB mean pages that spilled
+gigabytes per round). Replay request rows stay slim and either (a) JOIN
+the eval-output memo sink JVM-side (straight navigate/extract programs:
+outputs replayed by path-prefix concat, no body read at all), or (b)
+cogroup with the store's single row per url, so each body crosses exactly
+one exchange. The dynamic-partition write sort (plannedWrite) is off for
+the body-carrying snapshot writes.
+
+## Streaming sessionization: drain wall vs throughput (flag adjudication)
+
+The recurring `events_sessionize_stream` flag measures a finite
+AvailableNow DRAIN whose wall is per-micro-batch state-store fixed cost —
+not throughput. The throughput-mode measurement (same session_window +
+watermark plan, {hi['streaming']['micro_batches']} consecutive
+micro-batches into a noop sink) is the number that scales:
+
+| metric | local[8] (N) | local[32] (4N) |
+|---|---|---|
+| sessionize throughput (events/s) | {lo['streaming']['events_per_sec']} | {hi['streaming']['events_per_sec']} |
+| drain wall of the gate query (s) | {lo['queries'].get('events_sessionize_stream', '-')} | {hi['queries'].get('events_sessionize_stream', '-')} |
+
+## WARC roundtrip ({hi['warc']['archives']} per-record-gzip archives, one parse task each)
+
+| metric | local[8] (N) | local[32] (4N) |
+|---|---|---|
+| write wall (s) | {lo['warc']['write_s']} | {hi['warc']['write_s']} |
+| read wall (s) | {lo['warc']['read_s']} | {hi['warc']['read_s']} |
+| ingest throughput (pages/s) | {lo['warc']['read_pages_per_sec']} | {hi['warc']['read_pages_per_sec']} |
+
 | query | local[8] | local[32] | |
 |---|---|---|---|
 {qrows}
