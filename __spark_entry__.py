@@ -20,6 +20,7 @@ from boris_spark.ops import queries as Q  # noqa: E402
 from boris_spark.ops import crawl2 as _crawl2  # noqa: E402,F401 — registers gates
 from boris_spark.ops import kernel_gates as _kg  # noqa: E402,F401 — registers gates
 from boris_spark.ops import warc_gate as _wg  # noqa: E402,F401 — registers gates
+from boris_spark.ops import sitemap_gate as _sg  # noqa: E402,F401 — registers gates
 
 
 def entry(spark: SparkSession) -> DataFrame:
