@@ -276,6 +276,7 @@ def main():
             spark, sf_dir, sw, glob="events.parquet",
             schema="event_id bigint, ts timestamp, user_id bigint, "
                    "event_type string, value double, props string",
+            scale=int(os.environ.get("BORIS_STREAM_SCALE", "20")),
         )
     finally:
         shutil.rmtree(sw, ignore_errors=True)

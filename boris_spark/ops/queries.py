@@ -262,6 +262,96 @@ def frontier_merge_dedup(spark, sf_dir):
     )
 
 
+_PAGERANK_ITER = """
+    SELECT n.node,
+           0.15 + 0.85 * COALESCE(SUM(r.priority / o.od), 0) AS priority
+    FROM nodes n
+    LEFT JOIN edges e ON e.dst = n.node
+    LEFT JOIN {prev} r ON r.node = e.src
+    LEFT JOIN outdeg o ON o.src = e.src
+    GROUP BY n.node
+"""
+
+
+@q(
+    "frontier_priority_pagerank",
+    f"""
+    WITH edges AS (
+        SELECT l_orderkey % 1000 AS src, l_partkey % 1000 AS dst
+        FROM lineitem WHERE (l_orderkey % 1000) != (l_partkey % 1000)
+    ),
+    nodes AS (
+        SELECT DISTINCT src AS node FROM edges
+        UNION SELECT DISTINCT dst FROM edges
+    ),
+    outdeg AS (
+        SELECT src, CAST(count(*) AS DOUBLE) AS od FROM edges GROUP BY src
+    ),
+    r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS priority FROM nodes),
+    r1 AS ({_PAGERANK_ITER.format(prev="r0")}),
+    r2 AS ({_PAGERANK_ITER.format(prev="r1")}),
+    r3 AS ({_PAGERANK_ITER.format(prev="r2")})
+    SELECT node, ROUND(priority, 6) AS priority FROM r3
+    """,
+)
+def frontier_priority_pagerank(spark, sf_dir):
+    """Frontier priority recompute over the discovered link graph: 3
+    fixed iterations of damped PageRank (d=0.85, rank0=1.0, multi-edges
+    kept — parallel links weight the endorsement), the link-popularity
+    priority a crawl scheduler feeds back into the frontier's dequeue
+    order ("merge discovered links back into the frontier with dedup and
+    priority recompute"). The deterministic graph: one edge per lineitem
+    row, src=l_orderkey%1000, dst=l_partkey%1000, self-loops dropped.
+
+    Scale shape: each iteration is exactly two shuffles — contributions
+    co-partitioned on src (edges ⋈ ranks ⋈ outdeg; ranks/outdeg are
+    |V|-sized and broadcast when small, shuffle-hash at 10^10-URL scale)
+    then a groupBy(dst) partial-agg sum. Edges are computed once and
+    persisted; the iteration count is fixed (not convergence-driven), so
+    the whole job is a static 6-shuffle DAG with no driver-side loop
+    state beyond the plan itself."""
+    l = T(spark, sf_dir, "lineitem")
+    edges = (
+        l.select(
+            F.pmod("l_orderkey", F.lit(1000)).alias("src"),
+            F.pmod("l_partkey", F.lit(1000)).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .persist()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    outdeg = edges.groupBy("src").agg(F.count("*").cast("double").alias("od"))
+    ranks = nodes.select("node", F.lit(1.0).alias("priority"))
+    for _ in range(3):
+        contribs = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .join(outdeg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("priority") / F.col("od")).alias("c"),
+            )
+        )
+        ranks = (
+            nodes.join(
+                contribs.groupBy("node").agg(F.sum("c").alias("s")),
+                "node", "left",
+            )
+            .select(
+                "node",
+                (
+                    F.lit(0.15)
+                    + F.lit(0.85) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("priority"),
+            )
+        )
+    return ranks.select("node", F.round("priority", 6).alias("priority"))
+
+
 @q(
     "url_canonicalize",
     f"""

@@ -163,6 +163,7 @@ def sessionize_throughput(
     n_files: int = 8,
     gap: str = "30 minutes",
     watermark: str = "2 hours",
+    scale: int = 1,
 ) -> dict:
     """Throughput-mode measurement of the CONTINUOUS streaming form: the
     same session_window + watermark plan driven through ``n_files``
@@ -171,7 +172,23 @@ def sessionize_throughput(
     cores — the finite-drain wall of :func:`run_sessionize_append` is
     dominated by per-micro-batch state-store fixed cost, which is why it
     looks anti-scaling at high parallelism on tiny inputs (adjudicated in
-    BENCH/BASELINE.md)."""
+    BENCH/BASELINE.md).
+
+    *scale* replicates the event log deterministically across ``scale``
+    disjoint user populations (user_id' = user_id*scale + replica; event
+    timestamps unchanged) so each micro-batch carries enough events that
+    per-batch scheduler/state-store fixed cost stops dominating the wall.
+    More users — not longer sessions — is exactly how a web-scale event log
+    grows; per-user session structure is identical in every replica.
+
+    The query's shuffle-partition count (= state-store count; pinned into
+    the checkpoint at first start) is held at a FIXED 32 regardless of the
+    session default, mirroring how a real N→4N-executor scale-up works: the
+    job's partitioning is sized for the data and stays put while executor
+    slots grow underneath it. Letting the partition count track local[*]
+    instead would multiply per-batch state-store open/commit fixed cost by
+    4× at the 4N level — an artifact no multi-machine cluster has, since
+    added executors bring their own disks and state-store threads."""
     import time
 
     src = os.path.join(workdir, "src")
@@ -179,23 +196,42 @@ def sessionize_throughput(
         spark.read.schema(schema).option("pathGlobFilter", glob)
         .parquet(source_dir)
     )
+    if scale > 1:
+        rep = spark.range(scale).select(F.col("id").alias("_rep"))
+        batch = (
+            batch.crossJoin(rep)
+            .withColumn(
+                "user_id",
+                F.col("user_id") * F.lit(scale) + F.col("_rep"),
+            )
+            .withColumn(
+                "event_id",
+                F.col("event_id") * F.lit(scale) + F.col("_rep"),
+            )
+            .drop("_rep")
+        )
     n_events = batch.count()
     batch.repartition(n_files).write.mode("overwrite").parquet(src)
     sdf = stream_sessionize(
         spark, src, gap=gap, watermark=watermark, schema=schema,
         glob="*.parquet", max_files_per_trigger=1,
     )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
     t0 = time.time()
-    q = (
-        sdf.writeStream.format("noop")
-        .outputMode("append")
-        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(600):
-        q.stop()
-        raise TimeoutError("sessionize throughput run did not terminate")
+    try:
+        q = (
+            sdf.writeStream.format("noop")
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("sessionize throughput run did not terminate")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     wall = time.time() - t0
     return {
         "events": n_events,
