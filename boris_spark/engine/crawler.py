@@ -190,7 +190,26 @@ class CrawlEngine:
 
     # -------------------------------------------------------------- run
 
-    def run(self, root: P.Node, max_rounds: int = 1000, resume: bool = False) -> CrawlSummary:
+    def run(
+        self,
+        root: P.Node,
+        max_rounds: int = 1000,
+        resume: bool = False,
+        seed_frontier: DataFrame | None = None,
+    ) -> CrawlSummary:
+        """Crawl *root* to fixpoint (or *max_rounds*).
+
+        *seed_frontier* — optional DataFrame of (url_canon, url_full,
+        url_hash, host) rows (e.g. sources/sitemap.sitemap_frontier over a
+        host's published URL inventory) unioned into the round-0 frontier
+        as GET requests against the ROOT navigate node, without ever
+        passing through the driver: at 10^9 sitemap entries the inventory
+        IS the initial frontier and must stay distributed (a Lit seed list
+        lives in the program text and the driver's memory). Seed DFS order
+        is the lexicographic order of url_canon (path_key = 's:'+url_canon;
+        literal Lit seeds use 8-hex fan-out indices, which sort BEFORE the
+        's:' block, so program-text seeds are crawled first — documented,
+        deterministic across parallelism levels)."""
         t0 = time.time()
         self._tmp_sink_paths: list[str] = []
         # leftover transients from a killed run are junk (the durable sinks
@@ -233,6 +252,22 @@ class CrawlEngine:
                 APPLY_SCHEMA + ", body string",
             )
             requests, n_init_results, _ = self._cascade(init, rnd=0)
+            if seed_frontier is not None:
+                ns = lambda: F.lit(None).cast("string")  # noqa: E731
+                requests = requests.unionByName(
+                    seed_frontier.select(
+                        F.lit(root.node_id).alias("pc"),
+                        "url_canon", "url_full", "url_hash", "host",
+                        ns().alias("referer"),
+                        F.lit("GET").alias("method"),
+                        ns().alias("payload"),
+                        ns().alias("bindings"),
+                        F.concat(F.lit("s:"), F.col("url_canon")).alias(
+                            "path_key"
+                        ),
+                        ns().alias("cookies"),
+                    )
+                )
             self._checkpoint_frontier(requests, 0)
             self._drop_tmp_sinks()
         rnd = start_round
@@ -597,16 +632,31 @@ class CrawlEngine:
             )
             missed = jr.join(memo_f, cond, "left_anti")
             py_replay = replay_slim.where(F.col("_blk")).unionByName(missed)
-        py_urls = py_replay.select("url_canon").distinct()
-        store_src = self._body_source().join(
-            F.broadcast(py_urls), "url_canon", "left_semi"
-        )
-        out1b = (
-            py_replay.groupby("url_canon")
-            .cogroup(store_src.groupby("url_canon"))
-            .applyInPandas(self._replay_fn, CASCADE_SCHEMA)
-        )
-        first_out = out1.unionByName(out1b)
+        # The cogroup below rescans the body-bearing store parquet (a
+        # broadcast semi-join filters ROWS, but the scan still decompresses
+        # the store's body column chunks — gigabytes per round once the
+        # crawl has fetched a while). For memo-joinable programs with no
+        # robots/cookie divergence the miss set is empty by construction,
+        # so gate the whole branch on a count of the SLIM miss frame (rows
+        # are keys+metadata; the count never touches a body) and skip the
+        # store read entirely when nothing needs Python replay. Interleaved
+        # A/B at 480k pages / 63 KB mean showed this scan costing ~10% of
+        # crawl wall when always-on.
+        py_replay = py_replay.persist()
+        self._round_persists.append(py_replay)
+        first_out = out1
+        self._n_py_replay = py_replay.count()
+        if self._n_py_replay > 0:
+            py_urls = py_replay.select("url_canon").distinct()
+            store_src = self._body_source().join(
+                F.broadcast(py_urls), "url_canon", "left_semi"
+            )
+            out1b = (
+                py_replay.groupby("url_canon")
+                .cogroup(store_src.groupby("url_canon"))
+                .applyInPandas(self._replay_fn, CASCADE_SCHEMA)
+            )
+            first_out = first_out.unionByName(out1b)
         if out_jvm is not None:
             first_out = first_out.unionByName(out_jvm)
         new_requests, n_results, gen_paths = self._cascade(
@@ -675,6 +725,7 @@ class CrawlEngine:
         metrics = {
             "fetched": n_fetched,
             "results": n_results,
+            "py_replay_rows": getattr(self, "_n_py_replay", None),
             "partitions": lineage,
             "phases": {
                 b: round(tb - ta, 2)
@@ -939,8 +990,11 @@ class CrawlEngine:
             n_results += int(kinds.get("result", 0))
             if os.environ.get("BORIS_TIMING"):
                 print(f"  cascade gen{gen}: eval+write={_t.time()-_g1:.2f} kinds={kinds}")
-            cas = self.spark.read.parquet(path)
             if any(kinds.get(k, 0) for k in ("result", "request", "download")):
+                # guarded: an all-empty generation (e.g. a Lit([]) root whose
+                # frontier comes entirely from seed_frontier) writes no part
+                # files, and a parquet read of it cannot infer a schema
+                cas = self.spark.read.parquet(path)
                 self._append(
                     cas.where(
                         F.col("kind").isin("result", "request", "download")

@@ -184,6 +184,8 @@ def serialize(node: Node) -> str:
 #   predicate := '[' INT ']' | '[last()]' | '[@' NAME '=' QUOTED ']'
 #              | '[@' NAME ']' | '[text() =? QUOTED]'
 #              | '[position() OP INT]'
+#              | '[contains(SUBJ, QUOTED)]' | '[starts-with(SUBJ, QUOTED)]'
+#                 where SUBJ := '@' NAME | 'text()'
 
 
 @dataclass
@@ -198,6 +200,10 @@ _PRED_ATTR_RE = re.compile(r"^@([\w:-]+)\s*=\s*(?:'([^']*)'|\"([^\"]*)\")$")
 _PRED_HAS_ATTR_RE = re.compile(r"^@([\w:-]+)$")
 _PRED_TEXT_RE = re.compile(r"^text\(\)\s*=\s*(?:'([^']*)'|\"([^\"]*)\")$")
 _PRED_POS_RE = re.compile(r"^position\(\)\s*(>=|<=|>|<|=)\s*(\d+)$")
+_PRED_FN_RE = re.compile(
+    r"^(contains|starts-with)\(\s*(@[\w:-]+|text\(\))\s*,\s*"
+    r"(?:'([^']*)'|\"([^\"]*)\")\s*\)$"
+)
 
 
 def _split_top(s: str, sep: str) -> list[str]:
@@ -234,7 +240,9 @@ def _split_top(s: str, sep: str) -> list[str]:
 _XPATH_SUBSET = (
     "steps `/name` `//name` `/..`, attribute step `@attr`, `text()`, "
     "predicates `[n]` `[last()]` `[@attr='value']` `[@attr]` "
-    "`[text() = 'value']` `[position() op n]`, top-level union `a | b`"
+    "`[text() = 'value']` `[position() op n]` "
+    "`[contains(@attr|text(), 'v')]` `[starts-with(@attr|text(), 'v')]`, "
+    "top-level union `a | b`"
 )
 
 
@@ -317,6 +325,14 @@ def _parse_steps(path: str) -> list[_Step]:
             if m:
                 preds.append(("pos", m.group(1), int(m.group(2))))
                 continue
+            m = _PRED_FN_RE.match(p)
+            if m:
+                needle = m.group(3) if m.group(3) is not None else m.group(4)
+                subj = m.group(2)
+                if subj != "text()":
+                    subj = "@" + subj[1:].lower()
+                preds.append(("fn", m.group(1), subj, needle))
+                continue
             raise ValueError(
                 f"unsupported xpath predicate: {p!r}. Supported subset: "
                 f"{_XPATH_SUBSET}"
@@ -382,6 +398,30 @@ def _apply_preds(nodes: list[Node], preds: list[tuple]) -> list[Node]:
                 if isinstance(nd, Element)
                 and any(isinstance(c, Text) and c.data == want for c in nd.children)
             ]
+        elif kind == "fn":
+            _, fn, subj, needle = p
+            match = (
+                (lambda s: needle in s) if fn == "contains"
+                else (lambda s: s.startswith(needle))
+            )
+
+            def _hits(nd):
+                # any-match semantics over the subject's values, consistent
+                # with this kernel's `[text() = 'v']` (which matches if ANY
+                # direct text child equals — XPath 1.0 proper would convert
+                # the first node of the set)
+                if not isinstance(nd, Element):
+                    return False
+                if subj == "text()":
+                    vals = [
+                        c.data for c in nd.children if isinstance(c, Text)
+                    ]
+                else:
+                    name = subj[1:]
+                    vals = [v for k, v in nd.attrs if k == name]
+                return any(match(v) for v in vals)
+
+            nodes = [nd for nd in nodes if _hits(nd)]
     return nodes
 
 

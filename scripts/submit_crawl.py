@@ -7,6 +7,8 @@ deploy path):
         --pages /data/pages_parquet            # snapshot mode, or
         --warc  /data/cc/*.warc.gz             # Common-Crawl archives, or
         --synthetic 480000 --weight 32         # deterministic synthetic web
+        [--sitemaps /data/sitemap_parquet]     # (url, xml) sitemap docs →
+                                               # distributed frontier seeds
         [--politeness-k 100000] [--max-rounds 32] [--resume]
 
 The SparkSession inherits the master/executor topology from spark-submit
@@ -41,6 +43,10 @@ def main() -> None:
                     "robots.txt files — parsed (RFC 9309 subset) into "
                     "disallow rules AND Crawl-delay per-host budgets")
     ap.add_argument("--agent", default="*", help="user-agent token for robots group selection")
+    ap.add_argument("--sitemaps", help="parquet of (url, xml) fetched sitemap "
+                    "documents — parsed distributed (sitemaps.org 0.9) and "
+                    "their urlset entries unioned into the round-0 frontier "
+                    "as seeds, never collected to the driver")
     ap.add_argument("--max-rounds", type=int, default=32)
     ap.add_argument("--n-buckets", type=int, default=64)
     ap.add_argument("--resume", action="store_true")
@@ -74,6 +80,14 @@ def main() -> None:
             .withColumnRenamed("min(budget)", "budget")
         )
 
+    seed_frontier = None
+    if args.sitemaps:
+        from boris_spark.sources.sitemap import read_sitemaps, sitemap_frontier
+
+        seed_frontier = sitemap_frontier(
+            read_sitemaps(spark.read.parquet(args.sitemaps))
+        )
+
     links_q = XpathE("//td[@class='title']/a/@href/text()")
     feat = Extract(PageProfileE())
     if args.synthetic:
@@ -103,7 +117,10 @@ def main() -> None:
             host_budgets=budgets, robots_rules=robots_rules,
         )
 
-    s = eng.run(program, max_rounds=args.max_rounds, resume=args.resume)
+    s = eng.run(
+        program, max_rounds=args.max_rounds, resume=args.resume,
+        seed_frontier=seed_frontier,
+    )
     print(json.dumps({
         "rounds": s.rounds, "fetched": s.fetched, "results": s.results,
         "wall_s": round(s.wall_s, 2),

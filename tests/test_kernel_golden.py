@@ -321,3 +321,37 @@ def test_form_action_entity_decoded():
     # forms.rkt: the action attribute IS decoded (via html_decode_star)
     f = forms("<form action='/go&#x2f;deep'><input name='n'></form>", {})
     assert f[0][0] == "/go/deep"
+
+
+# ---- round-3b subset broadening: contains() / starts-with() --------------
+
+
+def test_xpath_contains_attr():
+    html = (
+        "<div><a class='btn primary'>go</a>"
+        "<a class='link'>no</a><a>bare</a></div>"
+    )
+    assert xpath_text(html, "//a[contains(@class, 'primary')]") == ["go"]
+    assert xpath_text(html, "//a[starts-with(@class, 'btn')]") == ["go"]
+    # absent attribute never matches
+    assert xpath_text(html, "//a[contains(@class, '')]") == ["go", "no"]
+
+
+def test_xpath_contains_text():
+    html = "<ul><li>alpha one</li><li>beta two</li></ul>"
+    assert xpath_text(html, "//li[contains(text(), 'one')]") == ["alpha one"]
+    assert xpath_text(html, "//li[starts-with(text(), 'beta')]") == ["beta two"]
+
+
+def test_xpath_contains_double_quoted_and_chained():
+    html = "<div><p id='x1'>a</p><p id='y2'>b</p><p id='x9'>c</p></div>"
+    assert xpath_text(html, '//p[starts-with(@id, "x")][2]') == ["c"]
+
+
+def test_xpath_contains_malformed_rejected():
+    import pytest
+
+    with pytest.raises(ValueError):
+        xpath("<p>x</p>", "//p[contains(@a 'v')]")
+    with pytest.raises(ValueError):
+        xpath("<p>x</p>", "//p[matches(@a, 'v')]")

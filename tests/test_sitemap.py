@@ -130,3 +130,51 @@ def test_spark_discover_sitemaps(spark):
         ("http://a.test/robots.txt", 0, "http://a.test/s.xml"),
         ("http://a.test/robots.txt", 1, "http://a.test/t.xml"),
     ]
+
+
+def test_seed_frontier_from_sitemap(spark, tmp_path):
+    """End-to-end DataFrame seeding (CrawlEngine.run(seed_frontier=...)):
+    a crawl whose round-0 frontier comes from a parsed sitemap fetches the
+    SAME url set and extracts the SAME value multiset as the equivalent
+    Lit-seeded program — the seeds just never pass through the driver."""
+    from boris_spark.engine.crawler import CrawlEngine
+    from boris_spark.oracle.program import (
+        Extract, First, Go, Lit, XpathE, XpathTextE,
+    )
+    from boris_spark.sources.sitemap import read_sitemaps, sitemap_frontier
+    from boris_spark.synth import webgen
+
+    n = 48
+    seeds = [webgen.page_url(i, n, 7) for i in (0, 16, 32)]
+    pages = spark.createDataFrame(
+        [(u, h) for u, h in webgen.corpus_pages_dict(n, 7).items()],
+        "url string, html string",
+    )
+    xml = (
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        + "".join(f"<url><loc>{u}</loc></url>" for u in seeds)
+        + "</urlset>"
+    )
+    docs = spark.createDataFrame(
+        [("http://a.test/sitemap.xml", xml)], "url string, xml string"
+    )
+    frontier = sitemap_frontier(read_sitemaps(docs))
+
+    links = XpathE("//td[@class='title']/a/@href/text()")
+    leaf = Extract(First(XpathTextE("//title")))
+
+    def crawl(program, workdir, **kw):
+        eng = CrawlEngine(spark, pages, str(workdir), politeness_k=1000)
+        eng.run(program, max_rounds=20, **kw)
+        return eng
+
+    a = crawl(Go(Lit([]), leaf, Go(links, leaf)), tmp_path / "sm",
+              seed_frontier=frontier)
+    b = crawl(Go(Lit(seeds), leaf, Go(links, leaf)), tmp_path / "lit")
+
+    seen_a = {r.url_canon for r in a.seen_df().collect()}
+    seen_b = {r.url_canon for r in b.seen_df().collect()}
+    assert seen_a == seen_b and seen_a
+    vals_a = sorted(r.value for r in a.results_df().collect())
+    vals_b = sorted(r.value for r in b.results_df().collect())
+    assert vals_a == vals_b
