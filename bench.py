@@ -228,6 +228,21 @@ def main():
         # run; accumulated bench workdirs once filled the disk mid-run
         shutil.rmtree(workdir, ignore_errors=True)
 
+    if os.environ.get("BORIS_CRAWL_ONLY"):
+        # skew/stress tiers re-run only the crawl (the query suite doesn't
+        # depend on the crawl's politeness shape); keep the JSON contract
+        print(json.dumps({
+            "metric": "crawl-only (skew/stress tier)",
+            "value": crawl["crawl_sec"],
+            "unit": "sec",
+            "queries": {},
+            "sf": sf_dir.rstrip("/").split("sf")[-1],
+            "cpus": cpus,
+            "crawl": crawl,
+        }))
+        spark.stop()
+        return
+
     times = {}
     for name in BENCH_QUERIES:
         t0 = time.time()
@@ -280,6 +295,10 @@ def main():
         )
     finally:
         shutil.rmtree(sw, ignore_errors=True)
+
+    from boris_spark.ops.queries import release_persisted
+
+    release_persisted()
 
     total = round(time.time() - t_total, 2)
     out = {

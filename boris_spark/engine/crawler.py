@@ -171,6 +171,19 @@ class CrawlEngine:
     def _append(self, df: DataFrame, sink: str, rnd: int) -> None:
         self.table.write_delta(df, sink, rnd)
 
+    def _append_async(self, df: DataFrame, sink: str, rnd: int) -> None:
+        """Commit a durable delta from the commit pool — a concurrent Spark
+        job. Only for sinks nothing later in the SAME round reads before
+        :meth:`_drain_commits` runs."""
+        self._pending_commits.append(
+            self._commit_pool.submit(self.table.write_delta, df, sink, rnd)
+        )
+
+    def _drain_commits(self) -> None:
+        pending, self._pending_commits = self._pending_commits, []
+        for f in pending:
+            f.result()  # re-raise any commit failure on the driver thread
+
     def _read_sink(self, sink: str) -> DataFrame | None:
         return self.table.read_sink(sink, self._SINK_SCHEMAS.get(sink))
 
@@ -212,17 +225,28 @@ class CrawlEngine:
         deterministic across parallelism levels)."""
         t0 = time.time()
         self._tmp_sink_paths: list[str] = []
+        # Commit pool: durable-sink appends that nothing later in the round
+        # reads (the column-pruned cascade history) and the end-of-round
+        # seen/frontier commits run as CONCURRENT Spark jobs from driver
+        # threads instead of serializing — per-round fixed cost that doesn't
+        # shrink with cores otherwise. Futures drain before the manifest.
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._commit_pool = ThreadPoolExecutor(
+            max_workers=3, thread_name_prefix="boris-commit"
+        )
+        self._pending_commits: list = []
         # leftover transients from a killed run are junk (the durable sinks
         # and manifests are the resume state)
-        tmp_root = self._path("cascade_tmp")
-        if os.path.isdir(tmp_root):
-            import shutil
+        import shutil
 
-            shutil.rmtree(tmp_root, ignore_errors=True)
+        for junk in ("cascade_tmp", "store_inbox"):
+            p = self._path(junk)
+            if os.path.isdir(p):
+                shutil.rmtree(p, ignore_errors=True)
         self.node_table = compile_program(root)
         self._cascade_fn = make_cascade_fn(self.node_table)
         self._fanout_fn = make_cascade_fn(self.node_table, fanout=True)
-        self._replay_fn = make_replay_fn(self.node_table)
         # eval-output-cache replays (JVM join instead of Python re-eval)
         # are exact only for straight navigate/extract programs — see
         # MEMO_JOINABLE_KINDS
@@ -230,9 +254,28 @@ class CrawlEngine:
             spec.kind in MEMO_JOINABLE_KINDS
             for spec in self.node_table.values()
         )
+        # memo-on-miss: replay-evaluated states feed the memo sink too, so
+        # a hub url re-linked at the same depth round after round pays the
+        # Python replay once, then joins JVM-side forever after
+        self._replay_fn = make_replay_fn(
+            self.node_table,
+            # snapshot mode has no memo sink/adopt — don't emit dead rows
+            emit_memo=self._memo_joinable and self.fetch_mode == "callable",
+        )
         if self.fetch_mode == "callable":
+            # Worker-direct store write (default): fetched bodies are
+            # parquet'd by the Python workers into the inbox dir and the
+            # directory is ADOPTED as the round's store delta — bodies
+            # never cross Arrow, never enter the JVM writer, hit disk
+            # exactly once. BORIS_JVM_STORE_WRITE=1 restores the
+            # body-through-Arrow path (A/B lever).
+            self._store_inbox = (
+                None if os.environ.get("BORIS_JVM_STORE_WRITE")
+                else self._path("store_inbox")
+            )
             self._fused_fn = make_fused_fn(
-                self.node_table, self.fetch_fn, emit_memo=self._memo_joinable
+                self.node_table, self.fetch_fn, emit_memo=self._memo_joinable,
+                store_dir=self._store_inbox,
             )
 
         start_round = 0
@@ -242,10 +285,14 @@ class CrawlEngine:
                 # Bloom shards are in-memory state: rebuild from the seen
                 # snapshots so the prefilter has no false negatives after a
                 # restart (a stale bloom would mark seen URLs "definitely
-                # new" and re-fetch them).
+                # new" and re-fetch them). DISTRIBUTED rebuild: per-bucket
+                # bitsets are built executor-side and only n_buckets
+                # (bucket, bitset) rows reach the driver — at 10^10 seen
+                # URLs the seen set itself can never pass through the
+                # driver, which a toPandas() here would require.
                 seen = self._read_sink("seen")
                 if seen is not None:
-                    self.bloom.add_delta(seen.select("bucket", "url_hash").toPandas())
+                    self._fold_seen_frame(seen.select("bucket", "url_hash"))
         if start_round == 0:
             init = self.spark.createDataFrame(
                 [(root.node_id, None, None, None, "", None)],
@@ -269,25 +316,31 @@ class CrawlEngine:
                     )
                 )
             self._checkpoint_frontier(requests, 0)
+            self._drain_commits()
             self._drop_tmp_sinks()
         rnd = start_round
         total_fetched = 0
         total_results = 0
-        while rnd < max_rounds:
-            # frontier row count from delta metadata — no Spark job
-            n_req = self.table.delta_rows("frontier", rnd)
-            if n_req == 0:
-                break
-            requests = self.table.delta_df("frontier", rnd, REQUEST_SCHEMA)
-            rt0 = time.time()
-            _, fetched, n_results, metrics = self._round(requests, rnd, n_req)
-            total_fetched += fetched
-            total_results += n_results
-            metrics.update(
-                round=rnd, requests=n_req, wall_s=round(time.time() - rt0, 3)
-            )
-            self._write_manifest(rnd, metrics)
-            rnd += 1
+        try:
+            while rnd < max_rounds:
+                # frontier row count from delta metadata — no Spark job
+                n_req = self.table.delta_rows("frontier", rnd)
+                if n_req == 0:
+                    break
+                requests = self.table.delta_df("frontier", rnd, REQUEST_SCHEMA)
+                rt0 = time.time()
+                _, fetched, n_results, metrics = self._round(
+                    requests, rnd, n_req
+                )
+                total_fetched += fetched
+                total_results += n_results
+                metrics.update(
+                    round=rnd, requests=n_req, wall_s=round(time.time() - rt0, 3)
+                )
+                self._write_manifest(rnd, metrics)
+                rnd += 1
+        finally:
+            self._commit_pool.shutdown(wait=True)
 
         wall = time.time() - t0
         return CrawlSummary(
@@ -466,6 +519,7 @@ class CrawlEngine:
         self._checkpoint_frontier(frontier_next, rnd + 1)
         _mark("frontier_ckpt")
 
+        self._drain_commits()
         requests.unpersist()
         urls.unpersist()
         fetched.unpersist()
@@ -636,44 +690,57 @@ class CrawlEngine:
         # broadcast semi-join filters ROWS, but the scan still decompresses
         # the store's body column chunks — gigabytes per round once the
         # crawl has fetched a while). For memo-joinable programs with no
-        # robots/cookie divergence the miss set is empty by construction,
-        # so gate the whole branch on a count of the SLIM miss frame (rows
-        # are keys+metadata; the count never touches a body) and skip the
-        # store read entirely when nothing needs Python replay. Interleaved
-        # A/B at 480k pages / 63 KB mean showed this scan costing ~10% of
-        # crawl wall when always-on.
+        # robots/cookie divergence the miss set is empty by construction.
+        # Rounds 1-3 gated the branch on a DRIVER-SIDE count() of the slim
+        # miss frame — a standalone serial job that at 480k-page scale cost
+        # 2-16s per round BEFORE the round's real work could start. Now the
+        # branch is always in the plan and the gate is AQE's runtime
+        # empty-relation propagation: the broadcast exchange of `py_urls`
+        # materializes first, and when it is empty AQE rewrites the
+        # semi-join to an EmptyRelation — the store scan never runs
+        # (verified in tests/test_engine_parity.py::
+        # test_empty_replay_skips_store_scan). Net effect: ONE job per
+        # round whose independent subtrees (fresh fused eval, memo join,
+        # cogroup replay) schedule concurrently, instead of a serial
+        # count job followed by the cascade.
         py_replay = py_replay.persist()
         self._round_persists.append(py_replay)
-        first_out = out1
-        self._n_py_replay = py_replay.count()
-        if self._n_py_replay > 0:
-            py_urls = py_replay.select("url_canon").distinct()
-            store_src = self._body_source().join(
-                F.broadcast(py_urls), "url_canon", "left_semi"
-            )
-            out1b = (
-                py_replay.groupby("url_canon")
-                .cogroup(store_src.groupby("url_canon"))
-                .applyInPandas(self._replay_fn, CASCADE_SCHEMA)
-            )
-            first_out = first_out.unionByName(out1b)
+        py_urls = py_replay.select("url_canon").distinct()
+        store_src = self._body_source().join(
+            F.broadcast(py_urls), "url_canon", "left_semi"
+        )
+        out1b = (
+            py_replay.groupby("url_canon")
+            .cogroup(store_src.groupby("url_canon"))
+            .applyInPandas(self._replay_fn, CASCADE_SCHEMA)
+        )
+        first_out = out1.unionByName(out1b)
         if out_jvm is not None:
             first_out = first_out.unionByName(out_jvm)
         new_requests, n_results, gen_paths = self._cascade(
             None, rnd + 1, first_out=first_out
         )
+        # metrics-only: py_replay was materialized inside the cascade job
+        # (its persist fed the broadcast), so this count reads the cache
+        self._n_py_replay = py_replay.count()
         _mark("fused_cascade")
 
         # persist this round's fetched bodies to the store sink (the page
-        # cache future rounds replay from) by ADOPTING the kind=fetched
-        # partition of the gen-1 snapshot — bodies hit disk exactly once
-        # (the partitionBy('kind') write above), never re-written
+        # cache future rounds replay from) by ADOPTING the worker-written
+        # inbox (default: bodies parquet'd inside the Python workers, never
+        # crossing Arrow) or, on the A/B fallback path, the kind=fetched
+        # partition of the gen-1 snapshot — either way bodies hit disk
+        # exactly once and are committed by directory rename
         # (adopt_delta = Iceberg add-files fast-append, tableformat.py)
-        fetched_dir = os.path.join(gen_paths[0], "kind=fetched")
+        fetched_dir = (
+            self._store_inbox
+            if self._store_inbox is not None
+            else os.path.join(gen_paths[0], "kind=fetched")
+        )
         if self.table.adopt_delta(fetched_dir, "store", rnd):
-            fetched_rows = self.table.delta_df("store", rnd)
+            fetched_rows = self.table.delta_df("store", rnd, STORE_SCHEMA)
         else:
-            fetched_rows = self._empty(CASCADE_SCHEMA).drop("kind")
+            fetched_rows = self._empty(STORE_SCHEMA)
         if self._memo_joinable:
             # the eval-output cache rides the same snapshot: adopt its
             # kind=memo partition (slim rows — no bodies by construction)
@@ -707,15 +774,25 @@ class CrawlEngine:
                     F.col("pk").alias("path_first"),
                 )
             )
-        self._append(seen_delta, "seen", rnd)
-        _mark("seen_write")
-
-        n_fetched, lineage = self._fold_seen_delta(rnd)
-        _mark("delta_readback")
+        # end-of-round commits OVERLAPPED: the seen chain (delta write +
+        # bloom fold readback) and the frontier checkpoint are independent
+        # Spark jobs — run them concurrently from the pool (with the tail
+        # cascade-history commit usually still draining alongside). Serial,
+        # these were 2-6s of per-round fixed cost that never shrank with
+        # cores.
+        def _seen_chain():
+            self._append(seen_delta, "seen", rnd)
+            return self._fold_seen_delta(rnd)
 
         frontier_next = new_requests.unionByName(deferred.select(*_REQ_COLS))
-        self._checkpoint_frontier(frontier_next, rnd + 1)
-        _mark("frontier_ckpt")
+        f_seen = self._commit_pool.submit(_seen_chain)
+        f_front = self._commit_pool.submit(
+            self._checkpoint_frontier, frontier_next, rnd + 1
+        )
+        n_fetched, lineage = f_seen.result()
+        f_front.result()
+        self._drain_commits()
+        _mark("commits_overlapped")
 
         requests.unpersist()
         urls.unpersist()
@@ -862,6 +939,38 @@ class CrawlEngine:
             return definitely_new.unionByName(checked)
         return urls.join(seen_keys, ["url_hash", "url_canon"], "left_anti")
 
+    def _fold_seen_frame(self, df: DataFrame) -> None:
+        """Fold an arbitrarily large (bucket, url_hash) frame into the Bloom
+        shards without the frame ever reaching the driver: one
+        ``applyInPandas`` per bucket builds that bucket's bitset
+        executor-side; the driver collects exactly ``n_buckets`` rows of
+        (bucket, bitset) and ORs them in. This is the resume-path rebuild
+        (reference semantics: cache reopen,
+        /root/reference/persistent/main.rkt:63-67) and the same shape
+        ``_fold_seen_delta`` uses for over-gate round deltas."""
+        from .bloom import build_bitset
+
+        m_bits, k = self.bloom.m_bits, self.bloom.k
+
+        def fold(pdf):
+            import numpy as np
+            import pandas as pd
+
+            return pd.DataFrame([{
+                "bucket": int(pdf["bucket"].iloc[0]),
+                "bits": build_bitset(
+                    pdf["url_hash"].to_numpy().astype(np.uint64), m_bits, k
+                ),
+            }])
+
+        rows = (
+            df.groupBy("bucket")
+            .applyInPandas(fold, "bucket int, bits binary")
+            .collect()
+        )
+        for r in rows:
+            self.bloom.merge_shard(r["bucket"], bytes(r["bits"]))
+
     def _fold_seen_delta(self, rnd: int) -> tuple[int, list[dict]]:
         """Fold this round's seen delta into the Bloom shards and compute
         the fetch metrics + per-partition lineage, gated by delta size:
@@ -994,8 +1103,12 @@ class CrawlEngine:
                 # guarded: an all-empty generation (e.g. a Lit([]) root whose
                 # frontier comes entirely from seed_frontier) writes no part
                 # files, and a parquet read of it cannot infer a schema
+                # async: the durable (column-pruned, body-free) cascade
+                # history is read by nobody until the crawl ends — commit it
+                # from the pool, overlapped with the next generation / the
+                # round's remaining jobs
                 cas = self.spark.read.parquet(path)
-                self._append(
+                self._append_async(
                     cas.where(
                         F.col("kind").isin("result", "request", "download")
                     ).drop(

@@ -135,6 +135,106 @@ def _parse_groups(text: str) -> list[tuple[list[str], list[str], float | None]]:
     return groups
 
 
+_LINE_BOUNDARY_RE = (
+    # str.splitlines()'s boundary set, as a regex (parity with the loop
+    # parser on CRLF / CR / unicode line breaks)
+    "\\r\\n|[\\n\\r\\x0b\\x0c\\x1c\\x1d\\x1e\\x85\\u2028\\u2029]"
+)
+_ROBOTS_KEYS = ["user-agent", "disallow", "crawl-delay", "allow", "sitemap"]
+
+
+def robots_frames(keys, bodies, agent: str = "*"):
+    """Vectorized robots.txt parse over a BATCH of files: pandas ``.str``
+    ops end-to-end (no per-row Python loop) — the form a 10^8-host crawl
+    needs, where every host contributes one body per refresh and the parse
+    itself is batch work. Implements exactly :func:`_parse_groups` +
+    the group-selection rule of :func:`parse_robots` /
+    :func:`parse_crawl_delay`; the loop parser stays as the oracle and
+    tests/test_warc.py pins frame-vs-loop equality on golden + adversarial
+    bodies.
+
+    *keys* identifies each file (host, orderkey, …); returns
+    ``(rules, delays)``: pandas frames ``(key, disallow_prefix)`` — rule
+    order preserved within each file — and ``(key, delay)`` with one row
+    per file that has an applicable Crawl-delay.
+    """
+    import numpy as np
+    import pandas as pd
+
+    agent = agent.lower()
+    keys = pd.Series(list(keys), name="key")
+    body = pd.Series(
+        [b if isinstance(b, str) else "" for b in bodies], name="body"
+    )
+    empty_rules = pd.DataFrame({"key": keys[:0], "disallow_prefix": []})
+    empty_delays = pd.DataFrame({"key": keys[:0], "delay": []})
+    if len(keys) == 0:
+        return empty_rules, empty_delays
+
+    # 1. explode to (file id, line); strip comments + whitespace
+    lines = (
+        pd.DataFrame({"hid": np.arange(len(keys)), "line": body})
+        .assign(line=lambda d: d["line"].str.split(_LINE_BOUNDARY_RE, regex=True))
+        .explode("line", ignore_index=True)
+    )
+    ln = lines["line"].fillna("").str.split("#", n=1).str[0].str.strip()
+    # 2. key:value split; keep only grammar directives
+    has_colon = ln.str.contains(":", regex=False)
+    part = ln.str.partition(":")
+    key = part[0].str.strip().str.lower()
+    value = part[2].str.strip()
+    keep = (has_colon & key.isin(_ROBOTS_KEYS)).to_numpy()
+    f = pd.DataFrame({
+        "hid": lines["hid"].to_numpy()[keep],
+        "key": key.to_numpy()[keep],
+        "value": value.to_numpy()[keep],
+    })
+    if not len(f):
+        return empty_rules, empty_delays
+    # 3. group segmentation: a group = one consecutive run of User-agent
+    #    lines + the rule lines after it; gid = cumulative count of
+    #    run-starts per file. Rule lines before any User-agent (gid 0) are
+    #    dropped — the loop parser's `if cur_agents` flush guard.
+    is_ua = f["key"].eq("user-agent")
+    run_start = is_ua & ~is_ua.groupby(f["hid"]).shift(fill_value=False)
+    f["gid"] = run_start.groupby(f["hid"]).cumsum()
+    f = f[f["gid"] > 0]
+    if not len(f):
+        return empty_rules, empty_delays
+    # 4. group selection: exact agent token beats '*'; same-specificity
+    #    groups merge
+    is_ua = f["key"].eq("user-agent")
+    v_low = f["value"].str.lower()
+    f["is_exact"] = is_ua & v_low.eq(agent)
+    f["is_star"] = is_ua & v_low.eq("*")
+    flags = f.groupby(["hid", "gid"])[["is_exact", "is_star"]].max()
+    any_exact = flags.groupby("hid")["is_exact"].transform("max")
+    flags = flags.assign(
+        selected=np.where(any_exact, flags["is_exact"], flags["is_star"])
+    )
+    sel = flags[flags["selected"]].reset_index()[["hid", "gid"]]
+    # 5. rules: non-empty Disallow values of selected groups, file order
+    dis = f[f["key"].eq("disallow") & f["value"].ne("")]
+    dis = dis.merge(sel, on=["hid", "gid"])
+    rules = pd.DataFrame({
+        "key": keys.to_numpy()[dis["hid"].to_numpy()],
+        "disallow_prefix": dis["value"].to_numpy(),
+    })
+    # 6. delays: last float-parsable Crawl-delay per group (invalid values
+    #    leave the previous one standing), min across selected groups
+    cd = f[f["key"].eq("crawl-delay")].copy()
+    cd["delay"] = pd.to_numeric(cd["value"], errors="coerce")
+    cd = cd.dropna(subset=["delay"])
+    last = cd.groupby(["hid", "gid"])["delay"].last().reset_index()
+    last = last.merge(sel, on=["hid", "gid"])
+    per_host = last.groupby("hid")["delay"].min().reset_index()
+    delays = pd.DataFrame({
+        "key": keys.to_numpy()[per_host["hid"].to_numpy()],
+        "delay": per_host["delay"].to_numpy(),
+    })
+    return rules, delays
+
+
 def host_budgets_from_robots(
     spark: SparkSession,
     robots_df: DataFrame,
@@ -158,15 +258,16 @@ def host_budgets_from_robots(
         import pandas as pd
 
         for pdf in batches:
-            rows = []
-            for h, b in zip(pdf["host"], pdf["body"]):
-                d = parse_crawl_delay(b if isinstance(b, str) else "", agent)
-                if d and d > 0:
-                    rows.append({
-                        "host": h,
-                        "budget": max(min_budget, int(round_seconds / d)),
-                    })
-            yield pd.DataFrame(rows, columns=["host", "budget"])
+            _, delays = robots_frames(pdf["host"], pdf["body"], agent)
+            d = delays[delays["delay"] > 0]
+            budget = (
+                (round_seconds / d["delay"]).astype(int).clip(lower=min_budget)
+            )
+            yield pd.DataFrame({
+                "host": d["key"].to_numpy(), "budget": budget.to_numpy()
+            }, columns=["host", "budget"]).astype(
+                {"host": "object", "budget": "int64"}
+            )
 
     return (
         robots_df.select("host", "body")
@@ -181,18 +282,16 @@ def robots_rules_from_pages(
 ) -> DataFrame:
     """(host, body) rows of fetched /robots.txt files → the engine's rules
     table ``(host, disallow_prefix)``. Parse runs distributed in Arrow
-    batches; the result is the (small) broadcast side of split_blocked."""
+    batches — vectorized pandas str ops via :func:`robots_frames`, no
+    per-row Python — and the result is the (small) broadcast side of
+    split_blocked."""
 
     def parse(batches):
-        import pandas as pd
+        import pandas as pd  # noqa: F401
 
         for pdf in batches:
-            rows = [
-                {"host": h, "disallow_prefix": p}
-                for h, b in zip(pdf["host"], pdf["body"])
-                for p in parse_robots(b if isinstance(b, str) else "", agent)
-            ]
-            yield pd.DataFrame(rows, columns=["host", "disallow_prefix"])
+            rules, _ = robots_frames(pdf["host"], pdf["body"], agent)
+            yield rules.rename(columns={"key": "host"})
 
     return robots_df.select("host", "body").mapInPandas(
         parse, "host string, disallow_prefix string"

@@ -145,6 +145,142 @@ class ParquetManifestFormat(TableFormat):
         )
 
 
+class LocalCatalogFormat(TableFormat):
+    """Catalog-TABLE implementation of the seam, runnable in this sandbox:
+    every sink is a session-catalog table ``<db>.boris_<sink>``
+    partitioned by ``round``, created through the DataFrameWriterV2 API
+    (``df.writeTo(t).using('parquet').partitionedBy('round').create()``)
+    and appended per round with dynamic partition overwrite (idempotent
+    re-run of an interrupted round overwrites only that round's
+    partition). Round commits append to a ``boris_rounds`` history table —
+    the snapshot log — instead of JSON manifest files. This executes the
+    catalog-table contract end-to-end (tests drive a full kill+resume
+    crawl through it); the ONE call that cannot run here is
+    ``writeTo(t).append()`` itself, because Spark's built-in session
+    catalog resolves parquet tables as V1 at write time ("Cannot write
+    into v1 table") and no V2 file catalog ships with PySpark — so
+    :meth:`_append_table` routes through ``insertInto`` (same append
+    semantics) unless ``v2_appends`` is set, which is exactly what
+    :class:`IcebergFormat` does on a cluster with a real catalog.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        db: str = "boris",
+        location: str | None = None,
+        v2_appends: bool = False,
+    ):
+        self.spark = spark
+        self.db = db
+        self.v2_appends = v2_appends
+        loc = f" LOCATION '{location}'" if location else ""
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}{loc}")
+        # re-running an interrupted round must replace that round's
+        # partition only, not the whole sink
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    def _tbl(self, sink: str) -> str:
+        return f"{self.db}.boris_{sink}"
+
+    def _exists(self, sink: str) -> bool:
+        return self.spark.catalog.tableExists(self._tbl(sink))
+
+    def _append_table(self, df: DataFrame, sink: str) -> None:
+        """One seam point for the append call: V2 ``writeTo().append()``
+        when the catalog supports it (Iceberg), ``insertInto`` with
+        dynamic partition overwrite against the built-in session
+        catalog."""
+        t = self._tbl(sink)
+        if self.v2_appends:
+            df.writeTo(t).append()
+        else:
+            # insertInto is POSITIONAL: align to the table's column order
+            cols = self.spark.table(t).columns
+            df.select(*cols).write.mode("overwrite").insertInto(t)
+
+    def write_delta(self, df: DataFrame, sink: str, rnd: int) -> None:
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("round", F.lit(rnd))
+        if not self._exists(sink):
+            (
+                df.writeTo(self._tbl(sink))
+                .using("parquet")
+                .partitionedBy(F.col("round"))
+                .create()
+            )
+        else:
+            self._append_table(df, sink)
+
+    def adopt_delta(self, src_dir: str, sink: str, rnd: int) -> bool:
+        # Iceberg: add_files — the pre-written data files are committed by
+        # reference. The session catalog has no add-files, so this path
+        # re-writes the bytes through the table append; the ENGINE-facing
+        # contract (directory in, committed delta out) is identical.
+        if not os.path.isdir(src_dir):
+            return False
+        import shutil
+
+        self.write_delta(self.spark.read.parquet(src_dir), sink, rnd)
+        shutil.rmtree(src_dir, ignore_errors=True)
+        return True
+
+    def read_sink(self, sink: str, schema: str | None = None) -> DataFrame | None:
+        if not self._exists(sink):
+            return None
+        return self.spark.table(self._tbl(sink))
+
+    def delta_rows(self, sink: str, rnd: int) -> int:
+        # Iceberg reads this from the snapshot summary without a job; a
+        # catalog count() with partition pruning stands in here
+        if not self._exists(sink):
+            return 0
+        return (
+            self.spark.table(self._tbl(sink))
+            .where(f"round = {int(rnd)}")
+            .count()
+        )
+
+    def read_delta_pandas(self, sink: str, rnd: int, columns=None):
+        df = self.spark.table(self._tbl(sink)).where(f"round = {int(rnd)}")
+        if columns is not None:
+            df = df.select(*columns)
+        return df.toPandas()
+
+    def delta_df(self, sink: str, rnd: int, schema: str | None = None) -> DataFrame:
+        return (
+            self.spark.table(self._tbl(sink))
+            .where(f"round = {int(rnd)}")
+            .drop("round")
+        )
+
+    def commit_round(self, rnd: int, metrics: dict) -> None:
+        df = self.spark.createDataFrame(
+            [(rnd, json.dumps(metrics))], "round int, metrics string"
+        )
+        if not self._exists("rounds"):
+            df.writeTo(self._tbl("rounds")).using("parquet").create()
+        else:
+            t = self._tbl("rounds")
+            df.select(*self.spark.table(t).columns).write.mode(
+                "append"
+            ).insertInto(t)
+
+    def committed_rounds(self) -> list[int]:
+        if not self._exists("rounds"):
+            return []
+        return sorted(
+            r["round"]
+            for r in self.spark.table(self._tbl("rounds"))
+            .select("round").collect()
+        )
+
+    def drop(self) -> None:
+        """Drop every sink table + the database (test cleanup)."""
+        self.spark.sql(f"DROP DATABASE IF EXISTS {self.db} CASCADE")
+
+
 class IcebergFormat(TableFormat):
     """The real-cluster implementation: each sink is an Iceberg table, each
     crawl round one snapshot commit (module docstring table). Requires the

@@ -210,6 +210,34 @@ def _eval_node(
 
 
 
+def _write_store_batch(store_dir: str, rows: list[tuple], batch_idx: int) -> None:
+    """Worker-side store write: one parquet file per (partition, batch),
+    STORE_SCHEMA columns, snappy. tmp-name + ``os.replace`` makes task
+    retries atomic; names are deterministic in (partitionId, batch index)
+    — a re-run attempt overwrites with byte-identical content, so
+    last-writer-wins is consistent. The engine adopts the directory as the
+    round's store delta without rewriting a byte (Iceberg add_files)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark import TaskContext
+
+    tc = TaskContext.get()
+    pid = tc.partitionId() if tc is not None else 0
+    os.makedirs(store_dir, exist_ok=True)
+    name = f"part-{pid:05d}-{batch_idx:04d}.parquet"
+    tmp = os.path.join(store_dir, f".{name}.tmp-{os.getpid()}")
+    tbl = pa.table({
+        "url_canon": pa.array([r[0] for r in rows], pa.string()),
+        "body": pa.array([r[1] for r in rows], pa.string()),
+        "status": pa.array([r[2] for r in rows], pa.int32()),
+        "head": pa.array([r[3] for r in rows], pa.string()),
+    })
+    pq.write_table(tbl, tmp, compression="snappy")
+    os.replace(tmp, os.path.join(store_dir, name))
+
+
 _INT_COLS = ("pc", "url_hash", "status", "mk_pc")
 
 
@@ -270,7 +298,12 @@ def _eval_memo(
         out.append(r2)
 
 
-def make_fused_fn(node_table: dict[int, NodeSpec], fetch_fn, emit_memo: bool = False):
+def make_fused_fn(
+    node_table: dict[int, NodeSpec],
+    fetch_fn,
+    emit_memo: bool = False,
+    store_dir: str | None = None,
+):
     """Fused fetch+extract: ONE mapInPandas stage per crawl round.
 
     Input rows are the round's FRESH request rows only (REQUEST cols) —
@@ -291,7 +324,20 @@ def make_fused_fn(node_table: dict[int, NodeSpec], fetch_fn, emit_memo: bool = F
 
     Emits one ``kind='fetched'`` row per distinct url per batch (body +
     status + head, min batch path in ``path_key``); the JVM aggregates
-    batches into the round's seen delta + store delta."""
+    batches into the round's seen delta + store delta.
+
+    With *store_dir* set (the default engine path), page bodies NEVER
+    cross the Arrow boundary at all: each worker writes its own store
+    parquet files (url_canon, body, status, head) straight into
+    *store_dir* via pyarrow — tmp-name + ``os.replace`` so task retries
+    are atomic and deterministic — and the ``fetched`` rows it emits are
+    SLIM (status + keys, no body). The crawler adopts the directory as the
+    round's store delta (``TableFormat.adopt_delta`` — Iceberg add_files:
+    data files written by tasks, committed by reference). This is the
+    10^10-scale shape: ~60 KB × millions of bodies per round would
+    otherwise pay Arrow encode + JVM decode + JVM parquet re-encode on a
+    memory-bandwidth-bound path that profiling showed does not scale with
+    cores on one box."""
 
     import inspect
 
@@ -325,9 +371,10 @@ def make_fused_fn(node_table: dict[int, NodeSpec], fetch_fn, emit_memo: bool = F
         import time as _time
 
         timing = _timing_enabled()
-        for pdf in batches:
+        for batch_idx, pdf in enumerate(batches):
             _t0 = _time.time()
             out: list[dict] = []
+            store_rows: list[tuple] = []
             cookies_col = (
                 pdf["cookies"] if "cookies" in pdf.columns else [None] * len(pdf)
             )
@@ -380,11 +427,21 @@ def make_fused_fn(node_table: dict[int, NodeSpec], fetch_fn, emit_memo: bool = F
                     # seen delta's path_first is computed JVM-side from the
                     # round's request frame)
                     emitted[url] = len(out)
+                    head_json = (
+                        json.dumps(list(head)) if head is not None else None
+                    )
+                    if store_dir is not None:
+                        # body goes straight to the worker-written store
+                        # file; the emitted row stays SLIM (keys + status)
+                        store_rows.append((url, body, int(status), head_json))
+                        row_body = None
+                    else:
+                        row_body = body
                     out.append(_out_row(
                         "fetched", url_canon=url, url_hash=url_hash,
                         host=host, path_key=path, status=int(status),
-                        body=body,
-                        head=json.dumps(list(head)) if head is not None else None,
+                        body=row_body,
+                        head=head_json,
                     ))
                 elif i is not None and path < out[i]["path_key"]:
                     out[i]["path_key"] = path
@@ -448,6 +505,11 @@ def make_fused_fn(node_table: dict[int, NodeSpec], fetch_fn, emit_memo: bool = F
             if timing:
                 _t_add("fused.eval", _time.time() - _t0)
                 _t0 = _time.time()
+            if store_dir is not None and store_rows:
+                _write_store_batch(store_dir, store_rows, batch_idx)
+                if timing:
+                    _t_add("fused.store_write", _time.time() - _t0)
+                    _t0 = _time.time()
             f = _frame(out)
             if timing:
                 _t_add("fused.frame", _time.time() - _t0)
@@ -456,7 +518,7 @@ def make_fused_fn(node_table: dict[int, NodeSpec], fetch_fn, emit_memo: bool = F
     return fused
 
 
-def make_replay_fn(node_table: dict[int, NodeSpec]):
+def make_replay_fn(node_table: dict[int, NodeSpec], emit_memo: bool = False):
     """Cogrouped store replay — the cache-hit half of a crawl round.
 
     ``replay_slim.groupby(url).cogroup(store.groupby(url)).applyInPandas``:
@@ -473,7 +535,17 @@ def make_replay_fn(node_table: dict[int, NodeSpec]):
     Semantics identical to the fan-out cascade over store-joined bodies
     (the memoized replay of browser-services.rkt:36-40): robots-blocked
     branches (left._blk) see an empty body and no head; the store head's
-    Set-Cookie folds into each branch's jar before its children run."""
+    Set-Cookie folds into each branch's jar before its children run.
+
+    With ``emit_memo`` (memo-joinable programs), every state this replay
+    evaluates ALSO emits eval-output-cache rows, exactly like the fused
+    stage does at fetch time: a state that structurally missed the memo
+    (url fetched at node A, replayed at node B — the misses are round-
+    recurring for hub pages that are re-linked every round at the same
+    depth) is evaluated in Python ONCE; every later round joins it
+    JVM-side instead of re-reading the body. Robots-blocked branches never
+    emit memo rows (their empty-body outputs would poison the unblocked
+    join, whose key does not carry the blocked bit)."""
 
     def replay(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         import time as _time
@@ -494,6 +566,7 @@ def make_replay_fn(node_table: dict[int, NodeSpec]):
                 h = right["head"].iloc[0]
                 head_json = h if isinstance(h, str) else None
         memo: dict = {}
+        memo_states: set = set()
         cookies_col = (
             left["cookies"] if "cookies" in left.columns else [None] * len(left)
         )
@@ -514,10 +587,12 @@ def make_replay_fn(node_table: dict[int, NodeSpec]):
             b = "" if blk else body
             hj = None if blk else head_json
             head = tuple(json.loads(hj)) if hj else None
+            cj_in = cj  # pre-fold jar: the memo key replay rows carry
             if head is not None:
                 cj = jar_to_json(
                     jar_fold_head(jar_from_json(cj), head, url_full or url)
                 )
+            row_start = len(out)
             for j, child in enumerate(node_table[pc].child_ids):
                 _eval_memo(
                     memo, (child, url_full, bindings_json, method, cj, blk),
@@ -525,6 +600,24 @@ def make_replay_fn(node_table: dict[int, NodeSpec]):
                     url, url_full, b, bindings_json, path + _hx(j), out,
                     head=head, method=method, cookies_json=cj,
                 )
+            if emit_memo and not blk:
+                skey = (pc, url_full, bindings_json, method, cj_in)
+                if skey not in memo_states:
+                    memo_states.add(skey)
+                    n_out = len(out)
+                    mk_kw = dict(
+                        cur_url=url, mk_pc=pc, mk_full=url_full,
+                        mk_method=method, mk_bindings=bindings_json,
+                        mk_cookies=cj_in,
+                    )
+                    out.append(_out_row("memo", mk="mark", **mk_kw))
+                    for r in out[row_start:n_out]:
+                        m = dict(r)
+                        m["kind"] = "memo"
+                        m["mk"] = r["kind"]
+                        m["path_key"] = r["path_key"][len(path):]
+                        m.update(mk_kw)
+                        out.append(m)
         if timing:
             _t_add("replay.eval", _time.time() - _t0)
             _t_add("replay.groups", 1e-9)

@@ -174,12 +174,16 @@ def serialize(node: Node) -> str:
 # ---------------------------------------------------------------- xpath
 
 # Supported grammar (the full surface used by the reference + its tests,
-# plus the three most-reached-for scraping forms: parent step `..`,
-# `[last()]`, attribute-existence `[@attr]`):
+# plus the most-reached-for scraping forms: parent step `..`, `[last()]`,
+# attribute-existence `[@attr]`, and the `following-sibling::` /
+# `ancestor::` axes):
 #   path      := '(' path ')[' INT ']' | alt
 #   alt       := steps ('|' steps)*
 #   steps     := ('/' | '//') step ( ('/' | '//') step )*
 #   step      := test predicate* | '..'
+#              | ('following-sibling::' | 'ancestor::') test predicate*
+#                 (after '/' only; their test is NAME | '*' | 'text()' —
+#                  fsib also matches text siblings; ancestor is elements)
 #   test      := NAME | '*' | '@' NAME | 'text()'
 #   predicate := '[' INT ']' | '[last()]' | '[@' NAME '=' QUOTED ']'
 #              | '[@' NAME ']' | '[text() =? QUOTED]'
@@ -190,7 +194,7 @@ def serialize(node: Node) -> str:
 
 @dataclass
 class _Step:
-    axis: str  # "child" | "desc"
+    axis: str  # "child" | "desc" | "fsib" | "anc"
     test: str  # tag name | "*" | "@name" | "text()"
     preds: list[tuple]
 
@@ -238,7 +242,8 @@ def _split_top(s: str, sep: str) -> list[str]:
 # beyond it fails loudly with this message rather than silently matching
 # nothing.
 _XPATH_SUBSET = (
-    "steps `/name` `//name` `/..`, attribute step `@attr`, `text()`, "
+    "steps `/name` `//name` `/..` `/following-sibling::name` "
+    "`/ancestor::name`, attribute step `@attr`, `text()`, "
     "predicates `[n]` `[last()]` `[@attr='value']` `[@attr]` "
     "`[text() = 'value']` `[position() op n]` "
     "`[contains(@attr|text(), 'v')]` `[starts-with(@attr|text(), 'v')]`, "
@@ -343,7 +348,36 @@ def _parse_steps(path: str) -> list[_Step]:
                 f"`//..` is not in the subset (use `/..`). Supported subset: "
                 f"{_XPATH_SUBSET}"
             )
-        steps.append(_Step("desc" if axis == "desc" else "child", test, preds))
+        for ax_name, ax_code in (
+            ("following-sibling::", "fsib"), ("ancestor::", "anc")
+        ):
+            if test.startswith(ax_name):
+                if axis == "desc":
+                    raise ValueError(
+                        f"`//{ax_name}…` is not in the subset (use "
+                        f"`/{ax_name}…`). Supported subset: {_XPATH_SUBSET}"
+                    )
+                test = test[len(ax_name):].strip()
+                if test.startswith("@") or (
+                    ax_code == "anc" and test == "text()"
+                ):
+                    raise ValueError(
+                        f"`{ax_name}{test}` is not in the subset (test must "
+                        f"be a name, `*`"
+                        + (" or `text()`" if ax_code == "fsib" else "")
+                        + f"). Supported subset: {_XPATH_SUBSET}"
+                    )
+                axis = ax_code
+                break
+        else:
+            if "::" in test:
+                # any OTHER axis (preceding-sibling::, descendant-or-self::,
+                # …) stays a loud boundary, not a silent tag-name miss
+                raise ValueError(
+                    f"axis {test.split('::')[0] + '::'!r} is not in the "
+                    f"subset. Supported subset: {_XPATH_SUBSET}"
+                )
+        steps.append(_Step(axis, test, preds))
     return steps
 
 
@@ -456,7 +490,67 @@ def _build_parents(node: Node, pm: dict[int, Element]) -> None:
 def _eval_steps(roots: list[Node], steps: list[_Step]) -> list[Node]:
     ctx: list[Node] = roots
     parent_map: dict[int, Element] | None = None
+
+    def _parents():
+        nonlocal parent_map
+        if parent_map is None:
+            parent_map = {}
+            for r in roots:
+                _build_parents(r, parent_map)
+        return parent_map
+
     for step in steps:
+        if step.axis == "fsib":
+            # following-sibling:: — per context node: the parent's children
+            # AFTER this node, filtered by the test; predicates number
+            # within each context node's own sibling list (XPath proximity
+            # order for a forward axis = document order). Synthetic @attr
+            # nodes have no parent and drop out; duplicates across context
+            # nodes dedupe in first-appearance order.
+            pm = _parents()
+            nxt, seen = [], set()
+            for node in ctx:
+                par = pm.get(id(node))
+                if par is None:
+                    continue
+                idx = next(
+                    i for i, c in enumerate(par.children) if c is node
+                )
+                after = par.children[idx + 1:]
+                for m in _apply_preds(
+                    _match_test(after, par, step.test), step.preds
+                ):
+                    if id(m) not in seen:
+                        seen.add(id(m))
+                        nxt.append(m)
+            ctx = nxt
+            continue
+        if step.axis == "anc":
+            # ancestor:: — per context node: the parent chain walked from
+            # the NEAREST ancestor outward (XPath proximity order for a
+            # reverse axis: [1] is the closest matching ancestor), the
+            # synthetic document root excluded; predicates number within
+            # each context node's own chain.
+            pm = _parents()
+            nxt, seen = [], set()
+            for node in ctx:
+                chain = []
+                cur = node
+                while True:
+                    par = pm.get(id(cur))
+                    if par is None:
+                        break
+                    if par.tag != TOP and (
+                        step.test == "*" or par.tag == step.test
+                    ):
+                        chain.append(par)
+                    cur = par
+                for m in _apply_preds(chain, step.preds):
+                    if id(m) not in seen:
+                        seen.add(id(m))
+                        nxt.append(m)
+            ctx = nxt
+            continue
         if step.test == "..":
             # parent step: lazily index child→parent once per query; the
             # node-set is deduped in first-appearance order (XPath parent

@@ -219,8 +219,11 @@ def cookie_fold(spark, sf_dir):
 def robots_parse(spark, sf_dir):
     """robots.txt parser gate (RFC 9309 subset, engine/robots.py): the
     agent-specific group ('boris') wins over '*'; comments, Allow lines and
-    empty Disallows are skipped; two prefixes per synthesized file."""
-    from ..engine.robots import parse_robots
+    empty Disallows are skipped; two prefixes per synthesized file. Runs
+    the VECTORIZED batch parser (robots_frames — pandas str ops, no
+    per-row Python); loop-vs-frame equivalence is separately pinned by
+    tests/test_warc.py's golden + hypothesis parity tests."""
+    from ..engine.robots import robots_frames
 
     o = _orders_keyed(spark, sf_dir)
 
@@ -228,9 +231,8 @@ def robots_parse(spark, sf_dir):
         import pandas as pd
 
         for pdf in batches:
-            rows = []
-            for k in pdf["o_orderkey"]:
-                body = (
+            bodies = [
+                (
                     "# synthetic robots\n"
                     "User-agent: boris\n"
                     f"Disallow: /b/{k}\n"
@@ -241,10 +243,12 @@ def robots_parse(spark, sf_dir):
                     "Disallow: /everyone\n"
                     "Disallow:\n"
                 )
-                rows += [
-                    {"o_orderkey": k, "disallow_prefix": p}
-                    for p in parse_robots(body, "boris")
-                ]
-            yield pd.DataFrame(rows, columns=["o_orderkey", "disallow_prefix"])
+                for k in pdf["o_orderkey"]
+            ]
+            rules, _ = robots_frames(pdf["o_orderkey"], bodies, "boris")
+            yield pd.DataFrame({
+                "o_orderkey": rules["key"].astype("int64"),
+                "disallow_prefix": rules["disallow_prefix"],
+            })
 
     return o.mapInPandas(run, "o_orderkey long, disallow_prefix string")

@@ -28,6 +28,31 @@ from ..synth.webgen import DOC_HOSTS
 QUERIES: dict[str, callable] = {}
 ORACLE_SQL: dict[str, str] = {}
 
+# Every .persist() a query takes out is registered here so a long gate/bench
+# session doesn't accumulate cached blocks across dozens of queries
+# (executor storage memory is a shared budget); bench.py and
+# scripts/validate_entry.py call release_persisted() when the suite is done.
+_persist_pool: list[DataFrame] = []
+
+
+def _pooled_persist(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _persist_pool.append(df)
+    return df
+
+
+def release_persisted() -> None:
+    """Unpersist every query-held cache (incl. the cross-query shingle /
+    doc-set caches) — call once per suite, after results are materialized."""
+    for df in _persist_pool:
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _persist_pool.clear()
+    _shingle_cache.clear()
+    _doc_sets_cache.clear()
+
 
 def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
@@ -317,13 +342,12 @@ def frontier_priority_pagerank(spark, sf_dir):
             F.pmod("l_partkey", F.lit(1000)).alias("dst"),
         )
         .where(F.col("src") != F.col("dst"))
-        .persist()
     )
-    nodes = (
+    edges = _pooled_persist(edges)
+    nodes = _pooled_persist(
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
-        .persist()
     )
     outdeg = edges.groupBy("src").agg(F.count("*").cast("double").alias("od"))
     ranks = nodes.select("node", F.lit(1.0).alias("priority"))
@@ -475,8 +499,8 @@ def _shingles_df(spark, sf_dir) -> DataFrame:
         .where(F.size("t") >= 3)
         .select("doc_id", F.explode(sh).alias("s"))
         .distinct()
-        .persist()
     )
+    out = _pooled_persist(out)
     _shingle_cache[key] = out
     return out
 
@@ -497,7 +521,7 @@ def _doc_sets_df(shingles: DataFrame, cache_key: str | None = None) -> DataFrame
         F.count("*").alias("n"),
     )
     if cache_key is not None:
-        out = out.persist()
+        out = _pooled_persist(out)
         _doc_sets_cache[cache_key] = out
     return out
 
@@ -1037,8 +1061,15 @@ def ann_ivf_candidates(spark, sf_dir, k_clusters=64, nprobe=6, train_cap=16384):
 # embeddings ⋈ read_parquet(pairs). The query overwrites the path on every
 # invocation before the oracle reads it, so the pairs always correspond to
 # the sf_dir under comparison.
+# Scoped by uid+pid: the oracle SQL string is built at import time in the
+# SAME process that runs the query (the driver/gate runs them side-by-side),
+# so pid-scoping keeps concurrent sessions and other users on this host from
+# overwriting each other's pairs, and makes a standalone oracle evaluation
+# against a stale file from some other run fail loudly instead of silently
+# comparing the wrong candidates.
 _ANN_IVF_CAND_DIR = os.path.join(
-    tempfile.gettempdir(), "boris_ann_ivf_cand.parquet"
+    tempfile.gettempdir(),
+    f"boris_ann_ivf_cand_u{os.getuid()}_p{os.getpid()}.parquet",
 )
 
 _ANN_IVF_SQL = f"""
@@ -1082,7 +1113,7 @@ def ann_ivf_topk(spark, sf_dir):
     (q_id, vec_id) pairs are written to ``_ANN_IVF_CAND_DIR`` and the
     DuckDB oracle recomputes the exact top-5 over them. Recall (the
     approximate part) stays measured separately in pytest + bench."""
-    cand = ann_ivf_candidates(spark, sf_dir).persist()
+    cand = _pooled_persist(ann_ivf_candidates(spark, sf_dir))
     cand.select("q_id", "vec_id").write.mode("overwrite").parquet(
         _ANN_IVF_CAND_DIR
     )

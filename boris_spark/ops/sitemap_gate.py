@@ -21,6 +21,75 @@ _CHANGEFREQ = ["always", "hourly", "daily", "weekly", "monthly", "yearly",
                "never"]
 _INDEX_URL = "http://docs.test/sitemap-index.xml"
 
+# Hand-AUTHORED golden fixtures flowing through the same gate. The
+# synthesized fixtures above share their escaping conventions with the
+# generator; these three share nothing with any code path under test —
+# a namespace-prefixed urlset with entity-escaped loc + out-of-vocabulary
+# changefreq + unparsable priority + a loc-less entry (all real-web
+# shapes), a BROKEN-XML urlset exercising the lenient regex-fallback
+# parser (the second <url> is unclosed: the parser must keep the first
+# entry, not drop the document), and a real-world-shaped sitemapindex
+# with timestamped lastmod. Expected rows are literal SELECTs in the
+# oracle SQL.
+_GOLDEN_DOCS = [
+    (
+        "http://golden.test/sitemap.xml",
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        '<sm:urlset xmlns:sm="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+        "  <sm:url>\n"
+        "    <sm:loc>\n"
+        "      http://golden.test/a?x=1&amp;y=2\n"
+        "    </sm:loc>\n"
+        "    <sm:lastmod>2024-02-29T12:00:00+00:00</sm:lastmod>\n"
+        "    <sm:changefreq>Sometimes</sm:changefreq>\n"
+        "    <sm:priority>high</sm:priority>\n"
+        "  </sm:url>\n"
+        "  <sm:url>\n"
+        "    <sm:loc>http://golden.test/b</sm:loc>\n"
+        "    <sm:changefreq>WEEKLY</sm:changefreq>\n"
+        "    <sm:priority>0.8</sm:priority>\n"
+        "  </sm:url>\n"
+        "  <sm:url><sm:lastmod>2024-01-01</sm:lastmod></sm:url>\n"
+        "</sm:urlset>",
+    ),
+    (
+        "http://broken.test/sitemap.xml",
+        '<?xml version="1.0"?><urlset><url><loc>http://broken.test/1</loc>'
+        "<priority>0.5</priority></url><url><loc>http://broken.test/2</loc>"
+        "</urlset>",
+    ),
+    (
+        "http://golden.test/sitemap-index.xml",
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+        "  <sitemap><loc>http://golden.test/sitemap-news.xml</loc>"
+        "<lastmod>2024-03-01T08:15:00Z</lastmod></sitemap>\n"
+        "  <sitemap><loc>http://golden.test/sitemap-posts.xml</loc>"
+        "</sitemap>\n"
+        "</sitemapindex>",
+    ),
+]
+
+# what the kernel parser must produce for _GOLDEN_DOCS, as SQL literals:
+# (sitemap_url, kind, loc, lastmod, changefreq, priority)
+_GOLDEN_ROWS_SQL = """
+SELECT * FROM (VALUES
+  ('http://golden.test/sitemap.xml', 'urlset',
+   'http://golden.test/a?x=1&y=2', '2024-02-29T12:00:00+00:00',
+   CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)),
+  ('http://golden.test/sitemap.xml', 'urlset', 'http://golden.test/b',
+   CAST(NULL AS VARCHAR), 'weekly', 0.8),
+  ('http://broken.test/sitemap.xml', 'urlset', 'http://broken.test/1',
+   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), 0.5),
+  ('http://golden.test/sitemap-index.xml', 'sitemapindex',
+   'http://golden.test/sitemap-news.xml', '2024-03-01T08:15:00Z',
+   CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)),
+  ('http://golden.test/sitemap-index.xml', 'sitemapindex',
+   'http://golden.test/sitemap-posts.xml', CAST(NULL AS VARCHAR),
+   CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE))
+) AS g(sitemap_url, kind, loc, lastmod, changefreq, priority)
+"""
+
 
 def _sitemap_docs(spark, sf_dir):
     """(url, xml) sitemap documents built JVM-side from `documents`:
@@ -86,7 +155,8 @@ def _sitemap_docs(spark, sf_dir):
         )
         .select(F.lit(_INDEX_URL).alias("url"), "xml")
     )
-    return leaves.unionByName(index)
+    golden = spark.createDataFrame(_GOLDEN_DOCS, "url string, xml string")
+    return leaves.unionByName(index).unionByName(golden)
 
 
 _LOC_SQL = (
@@ -111,6 +181,8 @@ SELECT '{_INDEX_URL}', 'sitemapindex',
        'http://h' || h || '.docs.test/sitemap.xml',
        '2024-01-01', NULL, CAST(NULL AS DOUBLE)
 FROM (SELECT DISTINCT doc_id % {DOC_HOSTS} AS h FROM documents)
+UNION ALL
+{_GOLDEN_ROWS_SQL}
 """
 
 
@@ -133,6 +205,13 @@ SELECT replace(loc, '&', '') AS url_canon,
        loc AS url_full,
        'h' || h || '.docs.test' AS host
 FROM locs
+UNION ALL
+SELECT * FROM (VALUES
+  ('http://golden.test/a?x=1y=2', 'http://golden.test/a?x=1&y=2',
+   'golden.test'),
+  ('http://golden.test/b', 'http://golden.test/b', 'golden.test'),
+  ('http://broken.test/1', 'http://broken.test/1', 'broken.test')
+) AS g(url_canon, url_full, host)
 """
 
 

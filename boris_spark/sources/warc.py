@@ -51,12 +51,17 @@ def write_warc(pages: DataFrame, out_dir: str, compress: bool = True) -> int:
     its store sink this way to hand fetched pages downstream in the
     archive format the rest of the CC ecosystem consumes.
 
-    Task-retry safe: each attempt streams into a unique temp file and
-    ``os.rename``\\ s it over the final part path on success (atomic on
-    POSIX; attempts are deterministic per partition, so last-writer-wins is
-    byte-identical). Compressed output is ONE GZIP MEMBER PER RECORD — the
-    actual Common-Crawl layout, which gives downstream CC tooling
-    record-level random access (offset+length seeks into the .gz)."""
+    Task-retry safe: each attempt streams into a unique HIDDEN temp file
+    (``.``-prefixed, so Spark file sources ignore it even if a failed or
+    speculative attempt leaves it behind) and ``os.rename``\\ s it over the
+    final part path on success (atomic on POSIX; attempts are deterministic
+    per partition, so last-writer-wins is byte-identical); a failing
+    attempt deletes its temp in the ``finally``. :func:`read_warc` also
+    filters to ``*.warc*`` by glob — three independent guards against an
+    orphaned attempt's records double-counting on read. Compressed output
+    is ONE GZIP MEMBER PER RECORD — the actual Common-Crawl layout, which
+    gives downstream CC tooling record-level random access (offset+length
+    seeks into the .gz)."""
     import gzip as _gzip
     import os
     import uuid as _uuid
@@ -69,19 +74,30 @@ def write_warc(pages: DataFrame, out_dir: str, compress: bool = True) -> int:
         final = os.path.join(
             out_dir, f"part-{idx:05d}.warc" + (".gz" if compress else "")
         )
-        tmp = final + f".tmp-{_uuid.uuid4().hex}"
+        tmp = os.path.join(
+            out_dir, f".{os.path.basename(final)}.tmp-{_uuid.uuid4().hex}"
+        )
         n = 0
-        with open(tmp, "wb") as f:
-            for row in rows:
-                body = bytes(row["html"]) if row["html"] is not None else b""
-                rec = build_response_record(row["url"], row["warc_ts"], body)
-                f.write(_gzip.compress(rec, mtime=0) if compress else rec)
-                n += 1
-        if n == 0:
-            os.remove(tmp)
-            return iter([])
-        os.rename(tmp, final)
-        return iter([1])
+        done = False
+        try:
+            with open(tmp, "wb") as f:
+                for row in rows:
+                    body = bytes(row["html"]) if row["html"] is not None else b""
+                    rec = build_response_record(row["url"], row["warc_ts"], body)
+                    f.write(_gzip.compress(rec, mtime=0) if compress else rec)
+                    n += 1
+            if n:
+                os.rename(tmp, final)
+            else:
+                os.remove(tmp)
+            done = True
+        finally:
+            if not done:
+                try:
+                    os.remove(tmp)
+                except OSError:
+                    pass
+        return iter([1] if n else [])
 
     files = (
         pages.select("url", "warc_ts", "html")
@@ -93,8 +109,15 @@ def write_warc(pages: DataFrame, out_dir: str, compress: bool = True) -> int:
 
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
     """Read a directory (or glob) of .warc / .warc.gz files into the pages
-    table. One parse task per file."""
-    files = spark.read.format("binaryFile").load(path).select("path", "content")
+    table. One parse task per file. The glob filter excludes any writer
+    temp file a failed task attempt may have left (belt to the hidden-file
+    + delete-on-failure suspenders in :func:`write_warc`)."""
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.{warc,warc.gz}")
+        .load(path)
+        .select("path", "content")
+    )
 
     def parse(batches):
         import pandas as pd

@@ -16,7 +16,7 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run(cpus: int, n_pages: int, sf_dir: str) -> dict:
+def run(cpus: int, n_pages: int, sf_dir: str, extra_env: dict | None = None) -> dict:
     env = dict(
         os.environ,
         SPARK_GRAFT_CPUS=str(cpus),
@@ -24,6 +24,7 @@ def run(cpus: int, n_pages: int, sf_dir: str) -> dict:
         BORIS_BENCH_PAGES=str(n_pages),
         BORIS_PAGE_WEIGHT=os.environ.get("BORIS_PAGE_WEIGHT", "32"),
         BORIS_CEILING_PROBE="1",  # paired bare-metal probe per run
+        **(extra_env or {}),
     )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
@@ -32,13 +33,27 @@ def run(cpus: int, n_pages: int, sf_dir: str) -> dict:
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
-def best_of(reps: int, cpus: int, n_pages: int, sf_dir: str) -> dict:
+def best_of(
+    reps: int, cpus: int, n_pages: int, sf_dir: str,
+    extra_env: dict | None = None,
+) -> dict:
     """Best-of-N: this sandbox VM shows intermittent hypervisor CPU steal
     (1-2 cores for tens of seconds, visible in /proc/stat field 8), which
     would otherwise dominate a single-run ratio; min-wall over reps
     estimates the uncontended cost of each parallelism level."""
-    runs = [run(cpus, n_pages, sf_dir) for _ in range(reps)]
+    runs = [run(cpus, n_pages, sf_dir, extra_env) for _ in range(reps)]
     return max(runs, key=lambda r: r["crawl"]["urls_per_sec"])
+
+
+# Skew/stress tier: same corpus (its Zipf host-0 already owns 50% of all
+# pages — a mega-host well past the 30%-of-frontier bar), but with the
+# per-host politeness budget tightened until it BINDS on the mega-host
+# every round (k=2000 vs the uniform tier's 20000): the frontier must
+# dequeue exactly k host-0 urls per round through the two-phase salted
+# window and defer the rest, round after round — the regime where a naive
+# Window.partitionBy(host) would funnel half the frontier through one
+# task. Crawl-only (the query suite doesn't depend on politeness shape).
+SKEW_ENV = {"BORIS_POLITENESS_K": "2000", "BORIS_CRAWL_ONLY": "1"}
 
 
 def _ceiling_work(args):
@@ -91,15 +106,22 @@ def main():
             if l.startswith('{"metric"')
         ]
         lo, hi = json.loads(lines[0]), json.loads(lines[1])
-        render(lo, hi, n_pages, reps, sf_dir)
+        sk = [json.loads(l) for l in lines[2:4]]
+        sk_lo, sk_hi = (sk + [None, None])[:2]
+        render(lo, hi, n_pages, reps, sf_dir, sk_lo, sk_hi)
         return
     # first run at 32 cores also generates the shared corpus cache
     lo = best_of(reps, 8, n_pages, sf_dir)
     hi = best_of(reps, 32, n_pages, sf_dir)
-    render(lo, hi, n_pages, reps, sf_dir)
+    sk_lo = sk_hi = None
+    if os.environ.get("BORIS_SKEW", "1") != "0":
+        sk_reps = int(os.environ.get("BORIS_SKEW_REPS", str(reps)))
+        sk_lo = best_of(sk_reps, 8, n_pages, sf_dir, SKEW_ENV)
+        sk_hi = best_of(sk_reps, 32, n_pages, sf_dir, SKEW_ENV)
+    render(lo, hi, n_pages, reps, sf_dir, sk_lo, sk_hi)
 
 
-def render(lo, hi, n_pages, reps, sf_dir):
+def render(lo, hi, n_pages, reps, sf_dir, sk_lo=None, sk_hi=None):
     thr_lo = lo["crawl"]["urls_per_sec"]
     thr_hi = hi["crawl"]["urls_per_sec"]
     eff = (thr_hi / thr_lo) / 4
@@ -129,6 +151,42 @@ def render(lo, hi, n_pages, reps, sf_dir):
             "**ANTI-SCALING**"
             if a and b and b > 1.25 * a and b - a > 1.0 else ""
         )
+
+    skew_md, skew_json = "", ""
+    if sk_lo and sk_hi:
+        st_lo = sk_lo["crawl"]["urls_per_sec"]
+        st_hi = sk_hi["crawl"]["urls_per_sec"]
+        sk_eff = (st_hi / st_lo) / 4
+        sc8 = sk_lo["crawl"].get("ceiling_pages_per_sec") or 1
+        sc32 = sk_hi["crawl"].get("ceiling_pages_per_sec") or 1
+        sk_norm = (st_hi / st_lo) / (sc32 / sc8)
+        sk_det = (
+            sk_lo["crawl"]["fetched"] == sk_hi["crawl"]["fetched"]
+            and sk_lo["crawl"]["extractions"] == sk_hi["crawl"]["extractions"]
+        )
+        skew_md = f"""## Skew/stress tier: politeness budget BINDING on the mega-host
+
+Same corpus (Zipf host-0 owns 50% of all pages — past the 30%-of-frontier
+mega-host bar), per-host politeness budget tightened to k=2000 so the
+dequeue path must cap host-0 through the two-phase salted window and
+defer the rest EVERY round — the regime where a naive
+`Window.partitionBy(host)` funnels half the frontier through one task.
+Crawl-only runs (the query suite is politeness-independent).
+
+| metric | local[8] (N) | local[32] (4N) |
+|---|---|---|
+| crawl URLs fetched+extracted | {sk_lo['crawl']['fetched']} | {sk_hi['crawl']['fetched']} |
+| crawl rounds | {sk_lo['crawl']['rounds']} | {sk_hi['crawl']['rounds']} |
+| crawl wall (s) | {sk_lo['crawl']['crawl_sec']} | {sk_hi['crawl']['crawl_sec']} |
+| **crawl throughput (urls/s)** | **{st_lo}** | **{st_hi}** |
+
+Skew-tier raw N→4N efficiency = **{sk_eff:.2f}** (uniform tier: {eff:.2f});
+ceiling-normalized = **{sk_norm:.2f}**. Determinism across levels: {sk_det}.
+Pass bar (VERDICT r3 #5): skew-tier efficiency within 1.3× of the uniform
+tier's — ratio = {(eff / sk_eff if sk_eff else float('inf')):.2f}.
+
+"""
+        skew_json = f"{json.dumps(sk_lo)}\n{json.dumps(sk_hi)}\n"
 
     qrows = "\n".join(
         f"| {name} | {lo['queries'].get(name, '-')} | {hi['queries'].get(name, '-')} | {_flag(name)} |"
@@ -258,19 +316,25 @@ of the corpus probed (IVF K=64/nprobe=6; the ≥0.9-recall regime is the
 clustered-corpus test, tests/test_entry_queries.py::test_ann_ivf_recall_clustered
 — this near-isotropic driver corpus caps ANY sublinear index's recall).
 
-Raw JSON:
+{skew_md}Raw JSON:
 
 ```json
 {json.dumps(lo)}
 {json.dumps(hi)}
-```
+{skew_json}```
 """
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
-    print(json.dumps({
+    summary = {
         "thr_local8": thr_lo, "thr_local32": thr_hi,
         "efficiency": round(eff, 3), "deterministic": deterministic,
-    }))
+    }
+    if sk_lo and sk_hi:
+        summary["skew_efficiency"] = round(
+            (sk_hi["crawl"]["urls_per_sec"] / sk_lo["crawl"]["urls_per_sec"])
+            / 4, 3
+        )
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

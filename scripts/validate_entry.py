@@ -90,6 +90,9 @@ def main():
         else:
             print(f"PASS {name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
     print(f"\n{len(names)-len(failures)}/{len(names)} passed")
+    from boris_spark.ops.queries import release_persisted
+
+    release_persisted()
     spark.stop()
     sys.exit(1 if failures else 0)
 

@@ -555,3 +555,76 @@ def test_parity_forced_distributed_paths(spark, corpus, tmp_path):
     assert_parity(oracle, eng)
     # the distributed fold really populated the driver's shard map
     assert eng.bloom is not None and eng.bloom.shards
+
+
+def test_resume_bloom_rebuild_is_distributed_and_complete(spark, corpus, tmp_path):
+    """The resume-path Bloom rebuild must (a) run through the distributed
+    per-bucket fold — no seen-scaled frame ever reaches the driver — and
+    (b) leave the prefilter with zero false negatives: every url in the
+    seen sink flags maybe-seen in its shard."""
+    pages_df, pages_dict = corpus
+    seeds = webgen.seeds_for(N_PAGES, SEED)
+    program = flagship_program(seeds)
+
+    eng1 = CrawlEngine(spark, pages_df, str(tmp_path / "work"), politeness_k=4)
+    eng1.run(program, max_rounds=2)  # partial crawl, seen sink non-empty
+
+    eng2 = CrawlEngine(spark, pages_df, str(tmp_path / "work"), politeness_k=4)
+    # run() with resume triggers the rebuild before any round executes;
+    # cap at the already-committed rounds so only the rebuild runs
+    done = eng2.table.committed_rounds()
+    eng2.run(program, max_rounds=done[-1] + 1, resume=True)
+    assert eng2.bloom.shards, "rebuild left the bloom empty"
+
+    seen = eng1._read_sink("seen").select("bucket", "url_hash").toPandas()
+    assert len(seen) > 0
+    flags = eng2.bloom.filter_frame(seen)
+    assert bool(flags.all()), "resume bloom has false negatives"
+
+
+def test_empty_replay_skips_store_scan(spark, tmp_path):
+    """The fused round keeps the cogroup store-replay branch in the plan
+    unconditionally (no serial driver-side count gate); the store scan must
+    still be SKIPPED at runtime when the replay set is empty — AQE's
+    empty-relation propagation rewrites the broadcast semi-join to an
+    EmptyRelation once the (empty) probe-side exchange materializes. This
+    pins the Spark behavior the engine relies on (crawler.py _round_fused)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    store_path = str(tmp_path / "store")
+    spark.range(2000).select(
+        F.concat(F.lit("u"), F.col("id")).alias("url_canon"),
+        F.expr("repeat('x', 500)").alias("body"),
+    ).write.parquet(store_path)
+    store = spark.read.parquet(store_path)
+
+    empty = spark.range(0).select(
+        F.concat(F.lit("u"), F.col("id")).alias("url_canon"),
+        F.lit("pk").alias("path_key"),
+    )
+    store_src = store.join(
+        F.broadcast(empty.select("url_canon").distinct()),
+        "url_canon", "left_semi",
+    )
+
+    def rep(lk, rk):
+        return pd.DataFrame({"url_canon": pd.Series(dtype="object"),
+                             "n": pd.Series(dtype="int64")})
+
+    replayed = (
+        empty.groupby("url_canon")
+        .cogroup(store_src.groupby("url_canon"))
+        .applyInPandas(rep, "url_canon string, n long")
+    )
+    fresh = spark.range(5).select(
+        F.concat(F.lit("z"), F.col("id")).alias("url_canon"),
+        F.lit(1).cast("long").alias("n"),
+    )
+    out = fresh.unionByName(replayed)
+    # collect() drives THIS DataFrame's own query execution, so the
+    # inspected plan below is the final adaptive plan of the same run
+    assert len(out.collect()) == 5
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan, plan
+    assert "EmptyRelation" in plan, plan

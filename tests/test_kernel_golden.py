@@ -355,3 +355,53 @@ def test_xpath_contains_malformed_rejected():
         xpath("<p>x</p>", "//p[contains(@a 'v')]")
     with pytest.raises(ValueError):
         xpath("<p>x</p>", "//p[matches(@a, 'v')]")
+
+
+# ---- round-4 subset broadening: following-sibling:: / ancestor:: ---------
+
+
+def test_xpath_following_sibling():
+    html = (
+        "<html><body><div id='a'><h2>T1</h2><p>p1</p><p>p2</p></div>"
+        "<div id='b'><h2>T2</h2><span>s</span><p>p3</p></div></body></html>"
+    )
+    assert xpath_text(html, "//h2/following-sibling::p") == ["p1", "p2", "p3"]
+    # predicates number within each context node's own sibling list
+    assert xpath_text(html, "//h2/following-sibling::p[1]") == ["p1", "p3"]
+    assert xpath_text(html, "//h2/following-sibling::*[last()]") == ["p2", "p3"]
+    # only siblings AFTER the context node
+    assert xpath_text(html, "//span/following-sibling::*") == ["p3"]
+    assert xpath_text(html, "//p[text()='p3']/following-sibling::p") == []
+
+
+def test_xpath_following_sibling_text():
+    html = "<p><b>k</b> v1 <b>k2</b> v2</p>"
+    assert xpath(html, "//b[1]/following-sibling::text()") == [" v1 ", " v2"]
+
+
+def test_xpath_ancestor():
+    html = (
+        "<html><body><div id='a'><ul><li><a href='u'>x</a></li></ul></div>"
+        "<div id='b'><p>y</p></div></body></html>"
+    )
+    # proximity order: [1] is the NEAREST matching ancestor
+    assert xpath(html, "//a/ancestor::div/@id/text()") == ["a"]
+    assert xpath(html, "//a/ancestor::*[1]")[0].startswith("<li>")
+    # chained back down after the axis step
+    assert xpath_text(html, "//p/ancestor::div/p") == ["y"]
+    # dedup across context nodes, first-appearance order
+    html2 = "<div id='z'><p>1</p><p>2</p></div>"
+    assert xpath(html2, "//p/ancestor::div/@id/text()") == ["z"]
+
+
+def test_xpath_axis_boundaries_rejected():
+    import pytest
+
+    with pytest.raises(ValueError):
+        xpath("<p>x</p>", "//following-sibling::p")
+    with pytest.raises(ValueError):
+        xpath("<p>x</p>", "//p/following-sibling::@id")
+    with pytest.raises(ValueError):
+        xpath("<p>x</p>", "//p/ancestor::text()")
+    with pytest.raises(ValueError):  # still-unsupported axis stays loud
+        xpath("<p>x</p>", "//p/preceding-sibling::b")

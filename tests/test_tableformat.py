@@ -58,3 +58,133 @@ def test_commit_and_resume_rounds(spark, tmp_path):
 def test_iceberg_format_documents_its_requirements(spark):
     with pytest.raises(NotImplementedError, match="iceberg-spark-runtime"):
         IcebergFormat(spark, "cat", "ns")
+
+
+# ---- LocalCatalogFormat: the executable catalog-table seam ---------------
+
+
+@pytest.fixture()
+def catfmt(spark, tmp_path):
+    from boris_spark.engine.tableformat import LocalCatalogFormat
+
+    import uuid
+
+    tf = LocalCatalogFormat(
+        spark, db=f"tfdb_{uuid.uuid4().hex[:8]}", location=str(tmp_path / "wh")
+    )
+    yield tf
+    tf.drop()
+
+
+def test_catalog_write_read_delta_roundtrip(spark, catfmt):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    catfmt.write_delta(df, "seen", 0)
+    catfmt.write_delta(
+        spark.createDataFrame([(3, "c")], "id long, v string"), "seen", 1
+    )
+    assert catfmt.delta_rows("seen", 0) == 2
+    assert catfmt.delta_rows("seen", 1) == 1
+    full = catfmt.read_sink("seen")
+    assert {(r["id"], r["round"]) for r in full.collect()} == {
+        (1, 0), (2, 0), (3, 1),
+    }
+    pdf = catfmt.read_delta_pandas("seen", 1, columns=["id"])
+    assert list(pdf["id"]) == [3]
+    # delta_df drops the partition column (engine expects the sink schema)
+    assert catfmt.delta_df("seen", 0).columns == ["id", "v"]
+
+
+def test_catalog_rerun_overwrites_only_its_round(spark, catfmt):
+    """An interrupted round's re-run must replace that round's partition
+    only (dynamic partition overwrite), leaving other rounds intact."""
+    mk = lambda rows: spark.createDataFrame(rows, "id long, v string")  # noqa: E731
+    catfmt.write_delta(mk([(1, "a")]), "frontier", 0)
+    catfmt.write_delta(mk([(2, "b")]), "frontier", 1)
+    catfmt.write_delta(mk([(9, "z"), (8, "y")]), "frontier", 1)  # re-run
+    assert catfmt.delta_rows("frontier", 0) == 1
+    assert {r["id"] for r in catfmt.delta_df("frontier", 1).collect()} == {8, 9}
+
+
+def test_catalog_adopt_and_rounds_history(spark, catfmt, tmp_path):
+    src = str(tmp_path / "staged")
+    spark.createDataFrame([(7,)], "id long").write.parquet(src)
+    assert catfmt.adopt_delta(src, "store", 3) is True
+    assert catfmt.delta_rows("store", 3) == 1
+    assert catfmt.adopt_delta(str(tmp_path / "missing"), "store", 4) is False
+    assert catfmt.committed_rounds() == []
+    catfmt.commit_round(0, {"fetched": 5})
+    catfmt.commit_round(2, {"fetched": 1})
+    catfmt.commit_round(1, {"fetched": 3})
+    assert catfmt.committed_rounds() == [0, 1, 2]
+
+
+def test_catalog_format_drives_kill_resume_crawl(spark, tmp_path):
+    """North-rule seam exercise: a fused-mode crawl runs, is killed after 2
+    rounds, and RESUMES entirely through catalog tables — snapshot history
+    from the rounds table, store/seen/frontier deltas as table partitions —
+    with output identical to the oracle."""
+    import uuid
+
+    from boris_spark.engine.crawler import CrawlEngine
+    from boris_spark.engine.tableformat import LocalCatalogFormat
+    from boris_spark.oracle import SnapshotFetcher, spider
+    from boris_spark.oracle.program import (
+        Extract, First, Fmt, Go, Lit, UrlE, XpathE, XpathTextE,
+    )
+    from boris_spark.synth import webgen
+
+    n_pages, seed = 96, 7
+    pages = webgen.corpus_pages_dict(n_pages, seed)
+    seeds = webgen.seeds_for(n_pages, seed)
+    program = Go(
+        Lit(seeds),
+        Extract(Fmt("{}\t{}", [UrlE(), First(XpathTextE("//title"))])),
+        Go(XpathE("//td[@class='title']/a/@href/text()"),
+           Extract(Fmt("{}\t{}", [UrlE(), First(XpathTextE("//title"))]))),
+    )
+    oracle = spider(program, SnapshotFetcher(pages))
+
+    def fetch_fn(urls):
+        return [
+            (pages.get(u), 200) if u in pages else (None, 404) for u in urls
+        ]
+
+    db = f"tfdb_{uuid.uuid4().hex[:8]}"
+    mk_tf = lambda: LocalCatalogFormat(  # noqa: E731
+        spark, db=db, location=str(tmp_path / "wh")
+    )
+    try:
+        eng1 = CrawlEngine(
+            spark, None, str(tmp_path / "work"), politeness_k=4,
+            fetch_mode="callable", fetch_fn=fetch_fn, table_format=mk_tf(),
+        )
+        eng1.run(program, max_rounds=2)
+        eng2 = CrawlEngine(
+            spark, None, str(tmp_path / "work"), politeness_k=4,
+            fetch_mode="callable", fetch_fn=fetch_fn, table_format=mk_tf(),
+        )
+        eng2.run(program, max_rounds=50, resume=True)
+        import json as _json
+
+        from boris_spark.oracle.program import path_key_hex
+
+        got = [
+            (r["path_key"], r["value"])
+            for r in eng2.results_df().select("path_key", "value").collect()
+        ]
+        want = [
+            (path_key_hex(f.path),
+             _json.dumps(f.value, sort_keys=True, separators=(",", ":"),
+                         ensure_ascii=False))
+            for f in oracle.flies
+        ]
+        assert got == want
+        seen = {r["url_canon"] for r in eng2.seen_df().collect()}
+        assert seen == oracle.seen
+        # fetch-once across the kill, via catalog partitions
+        store = eng2._read_sink("store").select("url_canon", "round").distinct()
+        assert (
+            store.groupBy("url_canon").count().where("count > 1").count() == 0
+        )
+    finally:
+        mk_tf().drop()

@@ -173,3 +173,82 @@ def test_crawl_delay_to_host_budgets(spark):
     }
     # a.test: 60/2 = 30; b.test absent (no delay); c.test floored to 1
     assert got == {("a.test", 30), ("c.test", 1)}
+
+
+def test_robots_frames_loop_parity_goldens():
+    """The vectorized pandas parser (robots_frames) == the loop parser on
+    hand-written golden bodies covering every grammar branch."""
+    from boris_spark.engine.robots import (
+        parse_crawl_delay, parse_robots, robots_frames,
+    )
+
+    bodies = [
+        # comments, Allow lines, empty Disallow, exact-beats-star
+        "# hdr\nUser-agent: boris\nDisallow: /b/1 # trail\nDisallow: /priv\n"
+        "Allow: /b/ok\n\nUser-agent: *\nDisallow: /everyone\nDisallow:\n",
+        # CRLF endings + float delay
+        "User-agent: *\r\nCrawl-delay: 2.5\r\nDisallow: /x\r\n",
+        # orphan rule before any UA; consecutive UA runs; invalid delay
+        # value leaves the previous standing; unselected group's delay
+        "Disallow: /orphan\nUser-agent: a\nUser-agent: boris\n"
+        "Disallow: /ab\nUser-agent: zz\nCrawl-delay: 4\nCrawl-delay: nope\n"
+        "Disallow: /z\n",
+        # empty body; UA token case-insensitivity; zero delay
+        "",
+        "User-agent: BORIS\nCrawl-delay: 0\nDisallow: /zero\n",
+        # Sitemap terminates a UA run
+        "User-agent: *\nSitemap: http://x/s.xml\nUser-agent: boris\n"
+        "Disallow: /after-sitemap\n",
+        # same-specificity groups merge; delays take the min
+        "User-agent: boris\nCrawl-delay: 9\nDisallow: /p\n"
+        "User-agent: boris\nCrawl-delay: 3\nDisallow: /q\n",
+        # unknown directives don't split a UA run
+        "User-agent: a\nNoindex: /n\nUser-agent: boris\nDisallow: /u\n",
+    ]
+    keys = [f"h{i}" for i in range(len(bodies))]
+    rules, delays = robots_frames(keys, bodies, "boris")
+    for k, b in zip(keys, bodies):
+        assert parse_robots(b, "boris") == (
+            rules[rules["key"] == k]["disallow_prefix"].tolist()
+        ), k
+        ld = parse_crawl_delay(b, "boris")
+        vd = delays[delays["key"] == k]["delay"].tolist()
+        if ld is None:
+            assert vd == [], k
+        else:
+            assert len(vd) == 1 and abs(vd[0] - ld) < 1e-9, k
+
+
+def test_robots_frames_loop_parity_fuzz():
+    """Property: robots_frames == the loop parser on arbitrary line soups
+    built from grammar fragments."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from boris_spark.engine.robots import (
+        parse_crawl_delay, parse_robots, robots_frames,
+    )
+
+    frag = st.sampled_from([
+        "User-agent: boris", "User-agent: *", "User-agent: other",
+        "user-AGENT:  boris ", "Disallow: /a", "Disallow: /b#c",
+        "Disallow:", "disallow: /CaSe", "Allow: /ok", "Sitemap: http://s/",
+        "Crawl-delay: 1", "Crawl-delay: 2.5", "Crawl-delay: junk",
+        "crawl-delay:0.25", "# comment", "", "garbage line", "Key: value",
+    ])
+    sep = st.sampled_from(["\n", "\r\n", "\r"])
+
+    @settings(max_examples=120, deadline=None)
+    @given(st.lists(frag, min_size=0, max_size=20), sep)
+    def check(lines, s):
+        body = s.join(lines)
+        rules, delays = robots_frames(["h"], [body], "boris")
+        assert parse_robots(body, "boris") == rules["disallow_prefix"].tolist()
+        ld = parse_crawl_delay(body, "boris")
+        vd = delays["delay"].tolist()
+        if ld is None:
+            assert vd == []
+        else:
+            assert len(vd) == 1 and abs(vd[0] - ld) < 1e-9
+
+    check()
