@@ -175,9 +175,14 @@ class CrawlEngine:
         """Commit a durable delta from the commit pool — a concurrent Spark
         job. Only for sinks nothing later in the SAME round reads before
         :meth:`_drain_commits` runs."""
-        self._pending_commits.append(
-            self._commit_pool.submit(self.table.write_delta, df, sink, rnd)
-        )
+
+        def run():
+            t0 = time.time()
+            self.table.write_delta(df, sink, rnd)
+            if os.environ.get("BORIS_TIMING"):
+                print(f"  async {sink}@{rnd}: {time.time()-t0:.2f}s")
+
+        self._pending_commits.append(self._commit_pool.submit(run))
 
     def _drain_commits(self) -> None:
         pending, self._pending_commits = self._pending_commits, []
@@ -722,7 +727,10 @@ class CrawlEngine:
         )
         # metrics-only: py_replay was materialized inside the cascade job
         # (its persist fed the broadcast), so this count reads the cache
+        _tc = time.time()
         self._n_py_replay = py_replay.count()
+        if os.environ.get("BORIS_TIMING"):
+            print(f"  py_replay.count(): {time.time()-_tc:.2f}s")
         _mark("fused_cascade")
 
         # persist this round's fetched bodies to the store sink (the page
@@ -780,14 +788,28 @@ class CrawlEngine:
         # cascade-history commit usually still draining alongside). Serial,
         # these were 2-6s of per-round fixed cost that never shrank with
         # cores.
+        _commit_walls: dict[str, float] = {}
+
+        def _timed(label, fn, *a):
+            def run():
+                t0 = time.time()
+                try:
+                    return fn(*a)
+                finally:
+                    _commit_walls[label] = round(time.time() - t0, 2)
+            return run
+
         def _seen_chain():
+            t0 = time.time()
             self._append(seen_delta, "seen", rnd)
+            _commit_walls["seen_write"] = round(time.time() - t0, 2)
             return self._fold_seen_delta(rnd)
 
         frontier_next = new_requests.unionByName(deferred.select(*_REQ_COLS))
-        f_seen = self._commit_pool.submit(_seen_chain)
+        f_seen = self._commit_pool.submit(_timed("seen_chain", _seen_chain))
         f_front = self._commit_pool.submit(
-            self._checkpoint_frontier, frontier_next, rnd + 1
+            _timed("frontier_ckpt", self._checkpoint_frontier,
+                   frontier_next, rnd + 1)
         )
         n_fetched, lineage = f_seen.result()
         f_front.result()
@@ -808,6 +830,7 @@ class CrawlEngine:
                 b: round(tb - ta, 2)
                 for (a, ta), (b, tb) in zip(_marks, _marks[1:])
             },
+            "commit_walls": _commit_walls,
         }
         return None, n_fetched, n_results, metrics
 

@@ -39,7 +39,7 @@ def main():
             rounds.append(json.load(open(f)))
         print(json.dumps({"cpus": cpus, "crawl": out, "rounds": [
             {k: r.get(k) for k in
-             ("round", "requests", "fetched", "wall_s", "py_replay_rows", "phases")}
+             ("round", "requests", "fetched", "wall_s", "py_replay_rows", "phases", "commit_walls")}
             for r in rounds
         ]}, indent=1))
     finally:
