@@ -68,14 +68,8 @@ SEEN_SCHEMA = (
     "path_first string"
 )
 STORE_SCHEMA = "url_canon string, body string, status int, head string"
-CASCADE_SINK_SCHEMA = (
-    "kind string, pc long, cur_url string, cur_full string, bindings string, "
-    "path_key string, url_canon string, url_full string, url_hash long, "
-    "host string, referer string, method string, payload string, "
-    "value string, vkind string, status int, cookies string"
-)
-# memo sink = the kind='memo' partition adopted out of gen-1 snapshots:
-# every CASCADE column except the partition column itself
+# results/downloads/memo sinks = kind= partitions adopted out of generation
+# snapshots by rename: every CASCADE column except the partition column
 MEMO_SINK_SCHEMA = CASCADE_SCHEMA.split(", ", 1)[1]
 
 _REQ_COLS = [
@@ -163,26 +157,17 @@ class CrawlEngine:
     _SINK_SCHEMAS = {
         "seen": SEEN_SCHEMA,
         "store": STORE_SCHEMA,
-        "cascade": CASCADE_SINK_SCHEMA,
+        # results/downloads = kind= partitions adopted out of generation
+        # snapshots (same file schema as the memo sink: every CASCADE
+        # column except the partition column itself)
+        "results": MEMO_SINK_SCHEMA,
+        "downloads": MEMO_SINK_SCHEMA,
         "frontier": REQUEST_SCHEMA,
         "memo": MEMO_SINK_SCHEMA,
     }
 
     def _append(self, df: DataFrame, sink: str, rnd: int) -> None:
         self.table.write_delta(df, sink, rnd)
-
-    def _append_async(self, df: DataFrame, sink: str, rnd: int) -> None:
-        """Commit a durable delta from the commit pool — a concurrent Spark
-        job. Only for sinks nothing later in the SAME round reads before
-        :meth:`_drain_commits` runs."""
-
-        def run():
-            t0 = time.time()
-            self.table.write_delta(df, sink, rnd)
-            if os.environ.get("BORIS_TIMING"):
-                print(f"  async {sink}@{rnd}: {time.time()-t0:.2f}s")
-
-        self._pending_commits.append(self._commit_pool.submit(run))
 
     def _drain_commits(self) -> None:
         pending, self._pending_commits = self._pending_commits, []
@@ -238,7 +223,15 @@ class CrawlEngine:
         from concurrent.futures import ThreadPoolExecutor
 
         self._commit_pool = ThreadPoolExecutor(
-            max_workers=3, thread_name_prefix="boris-commit"
+            max_workers=3, thread_name_prefix="boris-commit",
+            # scheduler-pool assignment is thread-local: every job a commit
+            # thread submits lands in the FAIR "commits" pool (session.py
+            # sets spark.scheduler.mode=FAIR) so commit tasks get task
+            # slots immediately instead of queueing behind the round's
+            # eval/write stage under FIFO
+            initializer=lambda: self.spark.sparkContext.setLocalProperty(
+                "spark.scheduler.pool", "commits"
+            ),
         )
         self._pending_commits: list = []
         # leftover transients from a killed run are junk (the durable sinks
@@ -1067,15 +1060,18 @@ class CrawlEngine:
         first_out: DataFrame | None = None,
     ):
         """Evaluate non-fetch generations to fixpoint. Each generation is
-        materialized ONCE, into the TRANSIENT sink ``cascade_tmp`` (full
-        union schema including apply/fetched rows, which carry page bodies);
-        the durable ``cascade`` sink receives a column-pruned copy of the
-        result/request/download rows only — no body or head columns — so
-        body bytes never accumulate in the permanent sink that
-        ``results_df`` rescans (programs with let/for/label/recur previously
-        rewrote bodies to the durable sink once per generation). Transient
-        dirs are deleted at the end of the round (``_drop_tmp_sinks``), after
-        the seen/store deltas and the frontier checkpoint consumed them.
+        materialized ONCE, into the TRANSIENT sink ``cascade_tmp``,
+        hive-partitioned by ``kind`` (full union schema; apply rows carry
+        page bodies). Durable consumers ADOPT their kind= partition by
+        directory rename — result rows → ``results`` sink, download rows →
+        ``downloads`` (and the fused round adopts fetched→store,
+        memo→memo) — so every output byte is parquet-encoded exactly once
+        (Iceberg add_files: data files written by the generation's tasks,
+        committed by reference). Request rows get no durable copy: the
+        frontier checkpoints already carry every (url, path) request row.
+        Body-bearing kinds (apply; fetched in JVM-store mode) stay
+        transient and are deleted at the end of the round
+        (``_drop_tmp_sinks``), after every consumer has executed.
         Generation row counts come from the parquet kind-column statistics
         driver-side (no Spark jobs)."""
         import time as _t
@@ -1122,24 +1118,23 @@ class CrawlEngine:
             n_results += int(kinds.get("result", 0))
             if os.environ.get("BORIS_TIMING"):
                 print(f"  cascade gen{gen}: eval+write={_t.time()-_g1:.2f} kinds={kinds}")
-            if any(kinds.get(k, 0) for k in ("result", "request", "download")):
-                # guarded: an all-empty generation (e.g. a Lit([]) root whose
-                # frontier comes entirely from seed_frontier) writes no part
-                # files, and a parquet read of it cannot infer a schema
-                # async: the durable (column-pruned, body-free) cascade
-                # history is read by nobody until the crawl ends — commit it
-                # from the pool, overlapped with the next generation / the
-                # round's remaining jobs
-                cas = self.spark.read.parquet(path)
-                self._append_async(
-                    cas.where(
-                        F.col("kind").isin("result", "request", "download")
-                    ).drop(
-                        "body", "head", "mk", "mk_pc", "mk_full",
-                        "mk_method", "mk_bindings", "mk_cookies",
-                    ),
-                    "cascade", key,
-                )
+            # Durable result/download history: ADOPT the generation's
+            # kind= partitions by directory rename (Iceberg add_files —
+            # data files written once by the generation's own tasks,
+            # committed by reference). The previous shape re-read the tmp
+            # snapshot and RE-ENCODED it into a durable copy — with ~80 KB
+            # extracted-text values that second encode was 300-550
+            # CPU-seconds per big round, and as a concurrent commit-pool
+            # job it sat on task slots that starved the round's other
+            # commits (profiled: 14-33 s async walls). Request rows get no
+            # durable copy at all: the frontier checkpoints already carry
+            # every (url, path) request row, so a durable request history
+            # was pure duplication.
+            for k, sink in (("result", "results"), ("download", "downloads")):
+                if kinds.get(k, 0):
+                    self.table.adopt_delta(
+                        os.path.join(path, f"kind={k}"), sink, key
+                    )
             if kinds.get("request", 0):
                 requests_acc = requests_acc.unionByName(
                     self.spark.read.parquet(
@@ -1202,24 +1197,19 @@ class CrawlEngine:
 
     def downloads_df(self) -> DataFrame:
         """Download-sink rows (syntax/io.rkt:27-36): body per pruned branch."""
-        df = self._read_sink("cascade")
+        df = self._read_sink("downloads")
         if df is None:
             return self._empty("path_key string, url string, value string")
         return (
-            df.where(F.col("kind") == "download")
-            .select("path_key", F.col("cur_url").alias("url"), "value")
+            df.select("path_key", F.col("cur_url").alias("url"), "value")
             .orderBy("path_key")
         )
 
     def results_df(self) -> DataFrame:
-        df = self._read_sink("cascade")
+        df = self._read_sink("results")
         if df is None:
             return self._empty("path_key string, value string, vkind string, pc long")
-        return (
-            df.where(F.col("kind") == "result")
-            .select("path_key", "value", "vkind", "pc")
-            .orderBy("path_key")
-        )
+        return df.select("path_key", "value", "vkind", "pc").orderBy("path_key")
 
     def seen_df(self) -> DataFrame:
         df = self._read_sink("seen")
