@@ -566,17 +566,34 @@ class CrawlEngine:
                     F.lit(True).alias("_blk"),
                 )
             )
-        routed = requests.join(decided, "url_canon", "left").persist()
-        self._round_persists.append(routed)
-        ok = routed.where(F.col("_fresh").isNotNull())
-        deferred = routed.where(F.col("_fresh").isNull())
+        # ONE lineage-break job per round: every request row is routed into
+        # a segment — fresh (politeness winner, gets the fused fetch+eval),
+        # jvmrep (cache hit whose exact input state is in the eval-output
+        # memo: replayed by a pure JVM join), pyrep (cache hit that needs
+        # the cogrouped Python replay: memo miss or robots-blocked), or
+        # deferred (over budget, back to the frontier) — and the whole
+        # tagged frame is written once, hive-partitioned by ``seg``. The
+        # rest of the round (eval job, seen chain, frontier checkpoint)
+        # reads plain columnar scans of its subdir; per-segment row counts
+        # come free from the parquet footers, so empty branches are PRUNED
+        # DRIVER-SIDE (no count() jobs, no reliance on AQE empty-relation
+        # propagation for the body-bearing store scan). Before this, the
+        # eval query inlined the requests→seen-filter→politeness→route
+        # lineage once per reference (~190 KB plan text), Catalyst + AQE
+        # re-optimization cost seconds of driver time per round, and the
+        # broadcast-subquery threads raced the unmaterialized persists,
+        # re-EXECUTING the routing/memo subtrees concurrently (profiled:
+        # one politeness-bound round burned 298 CPU-s of JVM time on <10 MB
+        # of data).
+        base = requests.join(decided, "url_canon", "left")
         if self.robots is not None:
-            # previously-blocked seen hits replay with an empty body
+            # previously-blocked seen hits replay with an empty body (only
+            # replay rows can match: blocked urls are in the seen set)
             seen_prev = self._read_sink("seen")
             if seen_prev is not None:
                 blocked_prev = seen_prev.where(F.col("status") == 999)
-                ok = (
-                    ok.join(
+                base = (
+                    base.join(
                         blocked_prev.select(
                             "url_canon", F.lit(True).alias("_pblk")
                         ),
@@ -588,35 +605,7 @@ class CrawlEngine:
                     )
                     .drop("_pblk")
                 )
-        _mark("route")
 
-        fresh = ok.where(F.col("_fresh"))
-        replay = ok.where(~F.col("_fresh"))
-
-        # sortWithinPartitions keeps all paths of one url consecutive, so
-        # the fused stage's eval memo is O(1): one fetch + one node eval per
-        # (url, pc, bindings), replayed for every further path (JVM-side
-        # sort of slim rows, no shuffle)
-        out1 = (
-            fresh.select(*_REQ_COLS)
-            .sortWithinPartitions("url_canon", "pc", "bindings")
-            .mapInPandas(self._fused_fn, CASCADE_SCHEMA)
-        )
-        # cache-hit replay: COGROUPED with the store sink on url_canon
-        # (make_replay_fn) — each group is one url: slim replay rows on the
-        # left, the url's single store row (body/head/status) on the right.
-        # A page body crosses exactly one shuffle (the cogroup exchange of
-        # the one-row-per-url store side, pre-filtered to this round's
-        # replayed urls via a broadcast semi-join of the SLIM url set) and
-        # is never joined per path, never sorted, never duplicated —
-        # identical semantics to a fresh fetch because fetch memoization
-        # replays the SAME response per url (browser-services.rkt:36-40).
-        # Missing store row (url seen but never stored, e.g. robots-
-        # blocked) → empty body.
-        replay_slim = replay.select(
-            "pc", "url_canon", "url_full", "bindings", "path_key",
-            "method", "cookies", "_blk",
-        )
         # eval-output-cache replay: for memo-joinable programs (straight
         # navigate/extract — the dominant crawl shape), a cached url's
         # replay is a pure JVM JOIN against the memo sink: match the input
@@ -628,17 +617,118 @@ class CrawlEngine:
         # (states never evaluated at fetch time, e.g. a branch arriving
         # with a different cookie jar) and robots-blocked branches fall
         # back to the cogrouped Python replay, which is always exact.
-        out_jvm = None
-        py_replay = replay_slim
+        # Hit-detection happens HERE, in the routing job, against the
+        # DISTINCT memo input-state keys (filtered to this round's
+        # candidate urls — a superset of the replay urls is safe: fresh and
+        # deferred urls were never fetched, so they cannot appear among the
+        # memo's cur_urls), so the segment tag already encodes the
+        # miss/hit split and the eval job never re-plans the anti-join.
         memo = self._read_sink("memo") if self._memo_joinable else None
+        memo_f = None
         if memo is not None:
-            jr = replay_slim.where(~F.col("_blk"))
-            jr_urls = jr.select("url_canon").distinct()
+            cand_urls = urls.select("url_canon")
             memo_f = memo.join(
-                F.broadcast(jr_urls),
-                memo["cur_url"] == jr_urls["url_canon"], "left_semi",
-            ).persist()  # scanned by both the hit join and the anti join
+                F.broadcast(cand_urls),
+                memo["cur_url"] == cand_urls["url_canon"], "left_semi",
+            ).persist()  # reused by the eval job's hit join
             self._round_persists.append(memo_f)
+            memo_keys = memo_f.select(
+                "cur_url", "mk_pc", "mk_full", "mk_bindings",
+                "mk_method", "mk_cookies",
+            ).distinct()
+            hit_cond = (
+                (base["url_canon"] == memo_keys["cur_url"])
+                & (base["pc"] == memo_keys["mk_pc"])
+                & base["url_full"].eqNullSafe(memo_keys["mk_full"])
+                & base["bindings"].eqNullSafe(memo_keys["mk_bindings"])
+                & (
+                    F.coalesce(base["method"], F.lit("GET"))
+                    == F.coalesce(memo_keys["mk_method"], F.lit("GET"))
+                )
+                & base["cookies"].eqNullSafe(memo_keys["mk_cookies"])
+            )
+            # memo_keys is DISTINCT on exactly the join keys → ≤1 match per
+            # row: the left join marks without duplicating
+            base = base.join(F.broadcast(memo_keys), hit_cond, "left").withColumn(
+                "_hit", memo_keys["cur_url"].isNotNull()
+            ).drop(
+                "cur_url", "mk_pc", "mk_full", "mk_bindings",
+                "mk_method", "mk_cookies",
+            )
+        else:
+            base = base.withColumn("_hit", F.lit(False))
+
+        seg_col = (
+            F.when(F.col("_fresh").isNull(), F.lit("deferred"))
+            .when(F.col("_fresh"), F.lit("fresh"))
+            .when(F.col("_blk") | ~F.col("_hit"), F.lit("pyrep"))
+            .otherwise(F.lit("jvmrep"))
+        )
+        routed_path = self._path("cascade_tmp", f"routed={rnd}")
+        base.withColumn("seg", seg_col).drop("_fresh", "_hit").write.partitionBy(
+            "seg"
+        ).mode("overwrite").parquet(routed_path)
+        self._tmp_sink_paths.append(routed_path)
+        segs = {
+            d[4:]: self._pq_rows(os.path.join(routed_path, d))
+            for d in os.listdir(routed_path) if d.startswith("seg=")
+        }
+        self._n_py_replay = segs.get("pyrep", 0)
+        _ROUTED_SCHEMA = REQUEST_SCHEMA + ", _blk boolean"
+
+        def _seg(name):
+            return self.spark.read.schema(_ROUTED_SCHEMA).parquet(
+                os.path.join(routed_path, f"seg={name}")
+            )
+
+        _mark("route")
+
+        # repartition restores the url_canon co-location the parquet
+        # round-trip may lose (a row-group split could put one url's paths
+        # in two read partitions — and fetch_fn MUST fire once per url);
+        # sortWithinPartitions then keeps all paths of one url consecutive,
+        # so the fused stage's eval memo is O(1): one fetch + one node eval
+        # per (url, pc, bindings), replayed for every further path
+        # (JVM-side sort of slim rows, one slim shuffle)
+        outs = []
+        if segs.get("fresh", 0):
+            outs.append(
+                _seg("fresh").select(*_REQ_COLS)
+                .repartition(
+                    self.spark.sparkContext.defaultParallelism, "url_canon"
+                )
+                .sortWithinPartitions("url_canon", "pc", "bindings")
+                .mapInPandas(self._fused_fn, CASCADE_SCHEMA)
+            )
+        # cache-hit replay: COGROUPED with the store sink on url_canon
+        # (make_replay_fn) — each group is one url: slim replay rows on the
+        # left, the url's single store row (body/head/status) on the right.
+        # A page body crosses exactly one shuffle (the cogroup exchange of
+        # the one-row-per-url store side, pre-filtered to this round's
+        # replayed urls via a broadcast semi-join of the SLIM url set) and
+        # is never joined per path, never sorted, never duplicated —
+        # identical semantics to a fresh fetch because fetch memoization
+        # replays the SAME response per url (browser-services.rkt:36-40).
+        # Missing store row (url seen but never stored, e.g. robots-
+        # blocked) → empty body. The branch exists ONLY when the footers
+        # say there are pyrep rows — memo-covered rounds never plan the
+        # body-bearing store scan at all.
+        if segs.get("pyrep", 0):
+            py_replay = _seg("pyrep").select(
+                "pc", "url_canon", "url_full", "bindings", "path_key",
+                "method", "cookies", "_blk",
+            )
+            py_urls = py_replay.select("url_canon").distinct()
+            store_src = self._body_source().join(
+                F.broadcast(py_urls), "url_canon", "left_semi"
+            )
+            outs.append(
+                py_replay.groupby("url_canon")
+                .cogroup(store_src.groupby("url_canon"))
+                .applyInPandas(self._replay_fn, CASCADE_SCHEMA)
+            )
+        if memo_f is not None and segs.get("jvmrep", 0):
+            jr = _seg("jvmrep")
             cond = (
                 (jr["url_canon"] == memo_f["cur_url"])
                 & (jr["pc"] == memo_f["mk_pc"])
@@ -651,7 +741,7 @@ class CrawlEngine:
                 & jr["cookies"].eqNullSafe(memo_f["mk_cookies"])
             )
             nl = lambda t: F.lit(None).cast(t)  # noqa: E731
-            out_jvm = (
+            outs.append(
                 jr.join(memo_f, cond, "inner")
                 .where(memo_f["mk"].isin("request", "result"))
                 .select(
@@ -682,48 +772,12 @@ class CrawlEngine:
                     nl("string").alias("mk_cookies"),
                 )
             )
-            missed = jr.join(memo_f, cond, "left_anti")
-            py_replay = replay_slim.where(F.col("_blk")).unionByName(missed)
-        # The cogroup below rescans the body-bearing store parquet (a
-        # broadcast semi-join filters ROWS, but the scan still decompresses
-        # the store's body column chunks — gigabytes per round once the
-        # crawl has fetched a while). For memo-joinable programs with no
-        # robots/cookie divergence the miss set is empty by construction.
-        # Rounds 1-3 gated the branch on a DRIVER-SIDE count() of the slim
-        # miss frame — a standalone serial job that at 480k-page scale cost
-        # 2-16s per round BEFORE the round's real work could start. Now the
-        # branch is always in the plan and the gate is AQE's runtime
-        # empty-relation propagation: the broadcast exchange of `py_urls`
-        # materializes first, and when it is empty AQE rewrites the
-        # semi-join to an EmptyRelation — the store scan never runs
-        # (verified in tests/test_engine_parity.py::
-        # test_empty_replay_skips_store_scan). Net effect: ONE job per
-        # round whose independent subtrees (fresh fused eval, memo join,
-        # cogroup replay) schedule concurrently, instead of a serial
-        # count job followed by the cascade.
-        py_replay = py_replay.persist()
-        self._round_persists.append(py_replay)
-        py_urls = py_replay.select("url_canon").distinct()
-        store_src = self._body_source().join(
-            F.broadcast(py_urls), "url_canon", "left_semi"
-        )
-        out1b = (
-            py_replay.groupby("url_canon")
-            .cogroup(store_src.groupby("url_canon"))
-            .applyInPandas(self._replay_fn, CASCADE_SCHEMA)
-        )
-        first_out = out1.unionByName(out1b)
-        if out_jvm is not None:
-            first_out = first_out.unionByName(out_jvm)
+        first_out = outs[0] if outs else self._empty(CASCADE_SCHEMA)
+        for o in outs[1:]:
+            first_out = first_out.unionByName(o)
         new_requests, n_results, gen_paths = self._cascade(
             None, rnd + 1, first_out=first_out
         )
-        # metrics-only: py_replay was materialized inside the cascade job
-        # (its persist fed the broadcast), so this count reads the cache
-        _tc = time.time()
-        self._n_py_replay = py_replay.count()
-        if os.environ.get("BORIS_TIMING"):
-            print(f"  py_replay.count(): {time.time()-_tc:.2f}s")
         _mark("fused_cascade")
 
         # persist this round's fetched bodies to the store sink (the page
@@ -750,15 +804,22 @@ class CrawlEngine:
             )
         _mark("store_write")
 
-        # the round's seen delta: per-url keys + DFS-min path come from the
-        # SLIM `selected` frame (pk = the round's min path, computed
-        # JVM-side — exact even when a url's rows straddled Arrow batches);
-        # the store contributes only status, via a column-pruned read of
-        # its duplicate-free one-row-per-url delta
+        # the round's seen delta: per-url keys + DFS-min path re-derived
+        # from the parquet-pinned seg=fresh rows (min path over ALL of the
+        # url's request paths this round — identical to the pre-politeness
+        # `urls` aggregate's pk, computed JVM-side; deriving from the
+        # routed parquet instead of `selected` keeps the seen-filter/
+        # politeness lineage out of the commit job's plan, so the commit
+        # does one slim scan + groupBy instead of re-running the routing
+        # tree); the store contributes only status, via a column-pruned
+        # read of its duplicate-free one-row-per-url delta
         seen_delta = (
-            selected.select(
-                "url_canon", "url_hash", "host",
-                F.col("pk").alias("path_first"),
+            (_seg("fresh") if segs.get("fresh", 0) else self._empty(_ROUTED_SCHEMA))
+            .groupBy("url_canon")
+            .agg(
+                F.first("url_hash").alias("url_hash"),
+                F.first("host").alias("host"),
+                F.min("path_key").alias("path_first"),
             )
             .join(fetched_rows.select("url_canon", "status"), "url_canon")
             .withColumn(
@@ -798,6 +859,10 @@ class CrawlEngine:
             _commit_walls["seen_write"] = round(time.time() - t0, 2)
             return self._fold_seen_delta(rnd)
 
+        deferred = (
+            _seg("deferred") if segs.get("deferred", 0)
+            else self._empty(_ROUTED_SCHEMA)
+        )
         frontier_next = new_requests.unionByName(deferred.select(*_REQ_COLS))
         f_seen = self._commit_pool.submit(_timed("seen_chain", _seen_chain))
         f_front = self._commit_pool.submit(
