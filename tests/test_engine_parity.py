@@ -583,12 +583,13 @@ def test_resume_bloom_rebuild_is_distributed_and_complete(spark, corpus, tmp_pat
 
 
 def test_empty_replay_skips_store_scan(spark, tmp_path):
-    """The fused round keeps the cogroup store-replay branch in the plan
-    unconditionally (no serial driver-side count gate); the store scan must
-    still be SKIPPED at runtime when the replay set is empty — AQE's
-    empty-relation propagation rewrites the broadcast semi-join to an
-    EmptyRelation once the (empty) probe-side exchange materializes. This
-    pins the Spark behavior the engine relies on (crawler.py _round_fused)."""
+    """AQE's empty-relation propagation rewrites a broadcast semi-join with
+    an empty probe side to an EmptyRelation, so a body-bearing scan behind
+    it never runs. The engine's primary gate is now driver-side (the fused
+    round prunes the cogroup branch when the seg=pyrep parquet footers say
+    0 rows, crawler.py _round_fused); this pins the Spark behavior that
+    backstops it — a non-empty pyrep segment whose url set happens to miss
+    the store entirely still never decompresses store body chunks."""
     import pandas as pd
     from pyspark.sql import functions as F
 
