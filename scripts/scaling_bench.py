@@ -230,10 +230,12 @@ reference semantics evaluate ~1.5× that (the program extracts at three
 depths and memoized cache-hit replays re-emit their extractions:
 {hi['crawl']['extractions']} extractions for {hi['crawl']['fetched']}
 fetches). That work factor is identical at both levels, so it cancels in
-the N→4N ratio; what does NOT cancel is per-round fixed cost (frontier
-checkpoint, seen/store commits, JVM job scheduling — ~25-35 s per full
-crawl regardless of core count), which is the measured residual between the
-normalized efficiency and 1.0.
+the N→4N ratio; what does NOT cancel is per-round fixed cost. Round 4 cut
+that from ~25-35 s/crawl to ~2 s/round of commit tail + ~12 s/crawl of
+routing-job wall (profiled per-round in scripts/profile_crawl.py: route
+1.4-6 s/round, overlapped commits ~1 s/round, fused eval = the remaining
+~85%), which is the measured residual between the normalized efficiency
+and 1.0.
 
 Determinism across parallelism levels (same seed ⇒ identical fetched +
 extraction counts at both levels): **{deterministic}**
@@ -267,6 +269,17 @@ outputs replayed by path-prefix concat, no body read at all), or (b)
 cogroup with the store's single row per url, so each body crosses exactly
 one exchange. The dynamic-partition write sort (plannedWrite) is off for
 the body-carrying snapshot writes.
+
+Round-3 → round-4 fixed-cost note: end-of-round commits (seen delta +
+bloom fold, frontier checkpoint, cascade history) now run CONCURRENTLY in
+a FAIR scheduler pool and overlap the next round's eval wave; fetched
+bodies are parquet'd inside the Python workers and ADOPTED by directory
+rename (never crossing Arrow or the JVM writer); each round routes every
+request row through ONE seg-partitioned lineage-break write whose parquet
+footers replace all per-branch count() jobs. Together these moved the
+per-crawl fixed cost from ~25-35 s (the round-3 residual) to ~2 s/round,
+which is what pushed the ceiling-normalized N→4N efficiency back over
+the 0.8 bar.
 
 ## Streaming sessionization: drain wall vs throughput (flag adjudication)
 
