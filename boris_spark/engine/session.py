@@ -40,7 +40,16 @@ def get_spark(
         b.appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.adaptive.enabled", "true")
+        # BORIS_AQE=0 disables adaptive execution for A/B profiling: each
+        # AQE query stage is a separate job with a driver sync point, and
+        # the crawl round's slim routing subtree has ~10 of them — in
+        # local mode that materialization latency is pure per-round fixed
+        # cost. Default stays ON (the 100 TB design point wants runtime
+        # re-planning + skew-join splitting on real clusters).
+        .config(
+            "spark.sql.adaptive.enabled",
+            "false" if os.environ.get("BORIS_AQE", "1") == "0" else "true",
+        )
         # coalescing OFF: AQE sizes partitions by bytes, which serializes the
         # CPU-heavy Arrow/pandas stages downstream of small-byte shuffles
         # (observed: a 60k-row join coalesced to 2 tasks before mapInPandas).
