@@ -276,9 +276,15 @@ class CrawlEngine:
                 store_dir=self._store_inbox,
             )
 
+        # driver-tracked seen-set size (accumulated from the per-round delta
+        # footer counts — no jobs): picks the seen-filter strategy each
+        # round. ≤ broadcast cap → ONE broadcast anti-join against the seen
+        # keys; above it → bloom prefilter / shuffle anti-join (design scale)
+        self._n_seen = 0
         start_round = 0
         if resume:
             start_round = self._resume_round()
+            self._n_seen = self.table.sink_rows("seen")
             if self.bloom is not None and start_round > 0:
                 # Bloom shards are in-memory state: rebuild from the seen
                 # snapshots so the prefilter has no false negatives after a
@@ -945,8 +951,22 @@ class CrawlEngine:
         if seen is None:
             return urls
         seen_keys = seen.select("url_hash", "url_canon")
-        # Adaptive: when this round's candidate set fits under the broadcast
-        # cap (known free, from the frontier delta's row count), the exact
+        # Adaptive, by DRIVER-KNOWN sizes (both free — footer/summary
+        # metadata, no jobs). Tier 1: the whole seen set fits under the
+        # broadcast cap → ONE broadcast anti-join straight against the seen
+        # keys. This replaces the double-broadcast shape (broadcast the
+        # candidates, semi-join the seen scan, broadcast the matches back),
+        # which cost two sequential broadcast-build sub-jobs per round —
+        # pure driver-sync fixed cost at local/bench scale. At 10^10 the
+        # seen set blows the cap and the later tiers take over.
+        n_seen = getattr(self, "_n_seen", None)
+        if n_seen is not None and n_seen <= self.broadcast_seen_limit:
+            return urls.join(
+                F.broadcast(seen_keys.select("url_canon")),
+                "url_canon", "left_anti",
+            )
+        # Tier 2: this round's candidate set fits under the broadcast cap
+        # (known free, from the frontier delta's row count) — the exact
         # double-broadcast check covers EVERY candidate in one scan of the
         # seen sink — the Bloom prefilter stage would only add an Arrow
         # roundtrip + a persist to the round's critical path. Skip it; the
@@ -1065,6 +1085,7 @@ class CrawlEngine:
           on the driver. The driver only ORs pre-built bitsets.
         """
         n_delta = self.table.delta_rows("seen", rnd)
+        self._n_seen = getattr(self, "_n_seen", 0) + n_delta
         if n_delta <= self.broadcast_seen_limit:
             delta_pdf = self.table.read_delta_pandas(
                 "seen", rnd,

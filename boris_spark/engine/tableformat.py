@@ -51,6 +51,13 @@ class TableFormat:
     def delta_rows(self, sink: str, rnd: int) -> int:
         raise NotImplementedError
 
+    def sink_rows(self, sink: str) -> int:
+        """Total rows across ALL committed deltas of *sink* — metadata
+        only (parquet footers / Iceberg snapshot summary total-records),
+        no Spark job. Used by the engine to pick the seen-filter strategy
+        on resume (the per-round count is accumulated driver-side)."""
+        raise NotImplementedError
+
     def read_delta_pandas(self, sink: str, rnd: int, columns=None):
         raise NotImplementedError
 
@@ -112,6 +119,18 @@ class ParquetManifestFormat(TableFormat):
         return sum(
             pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
             for f in os.listdir(path) if f.endswith(".parquet")
+        )
+
+    def sink_rows(self, sink: str) -> int:
+        import pyarrow.parquet as pq
+
+        root = self._path(sink)
+        if not os.path.isdir(root):
+            return 0
+        return sum(
+            pq.ParquetFile(os.path.join(root, d, f)).metadata.num_rows
+            for d in os.listdir(root) if d.startswith("round=")
+            for f in os.listdir(os.path.join(root, d)) if f.endswith(".parquet")
         )
 
     def read_delta_pandas(self, sink: str, rnd: int, columns=None):
@@ -241,6 +260,13 @@ class LocalCatalogFormat(TableFormat):
             .where(f"round = {int(rnd)}")
             .count()
         )
+
+    def sink_rows(self, sink: str) -> int:
+        # Iceberg: the current snapshot summary's total-records property —
+        # no job; a catalog count() stands in here
+        if not self._exists(sink):
+            return 0
+        return self.spark.table(self._tbl(sink)).count()
 
     def read_delta_pandas(self, sink: str, rnd: int, columns=None):
         df = self.spark.table(self._tbl(sink)).where(f"round = {int(rnd)}")
