@@ -35,6 +35,21 @@ def test_read_sink_missing_returns_none(spark, tmp_path):
     assert tf.read_sink("nope") is None
 
 
+def test_sink_rows_spans_all_deltas(spark, tmp_path):
+    # sink_rows = footer-metadata total across every committed delta (the
+    # engine restores its driver-side seen-set counter from this on resume)
+    tf = ParquetManifestFormat(spark, str(tmp_path))
+    assert tf.sink_rows("seen") == 0  # missing sink = empty
+    tf.write_delta(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"),
+        "seen", 0,
+    )
+    tf.write_delta(
+        spark.createDataFrame([(3, "c")], "id long, v string"), "seen", 1
+    )
+    assert tf.sink_rows("seen") == 3
+
+
 def test_adopt_delta(spark, tmp_path):
     tf = ParquetManifestFormat(spark, str(tmp_path))
     src = str(tmp_path / "staged")
@@ -92,6 +107,8 @@ def test_catalog_write_read_delta_roundtrip(spark, catfmt):
     assert list(pdf["id"]) == [3]
     # delta_df drops the partition column (engine expects the sink schema)
     assert catfmt.delta_df("seen", 0).columns == ["id", "v"]
+    assert catfmt.sink_rows("seen") == 3
+    assert catfmt.sink_rows("absent") == 0
 
 
 def test_catalog_rerun_overwrites_only_its_round(spark, catfmt):
