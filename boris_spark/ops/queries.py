@@ -13,7 +13,9 @@ and which plan survives 100×.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -1070,6 +1072,11 @@ def ann_ivf_candidates(spark, sf_dir, k_clusters=64, nprobe=6, train_cap=16384):
 _ANN_IVF_CAND_DIR = os.path.join(
     tempfile.gettempdir(),
     f"boris_ann_ivf_cand_u{os.getuid()}_p{os.getpid()}.parquet",
+)
+# pid-scoped dirs leak one per process otherwise (a gate+bench day leaves
+# dozens in /tmp); remove ours on interpreter exit
+atexit.register(
+    lambda: shutil.rmtree(_ANN_IVF_CAND_DIR, ignore_errors=True)
 )
 
 _ANN_IVF_SQL = f"""
