@@ -786,3 +786,94 @@ def page_text(html: str) -> str:
 
 def page_title(html: str) -> str:
     return xpath_first(html, "//title/text()", "") or ""
+
+
+# ------------------------------------------------- boilerplate removal
+
+# Main-content extraction (boilerplate removal) in the jusText /
+# trafilatura family (Pomikálek 2011, "Removing boilerplate and duplicate
+# content from web corpora"; both are public corpus-cleaning tools): prune
+# chrome subtrees outright, segment the page into LEAF text blocks, and
+# keep a block iff it is long enough and not link-dominated. Deterministic
+# and dependency-free so the Spark UDF and the SQL oracle can agree on a
+# closed form. Not in the reference (it stops at xpath/text extraction,
+# html/xpath.rkt); this is the training-data-pipeline step downstream of
+# the crawl.
+
+_WS_RE = re.compile(r"\s+")
+
+_PRUNE_TAGS = {
+    "script", "style", "noscript", "template", "nav", "header", "footer",
+    "aside", "form", "button", "select", "option", "svg", "iframe",
+}
+
+_BLOCK_TAGS = {
+    "p", "li", "dd", "dt", "td", "th", "caption", "figcaption",
+    "blockquote", "pre", "h1", "h2", "h3", "h4", "h5", "h6",
+    "div", "section", "article", "main",
+}
+
+
+def _walk_block_text(node: Node, in_link: bool, parts: list[str],
+                     counts: list[int]) -> None:
+    if isinstance(node, Text):
+        t = _WS_RE.sub(" ", node.data).strip()
+        if t:
+            parts.append(t)
+            counts[0] += len(t)
+            if in_link:
+                counts[1] += len(t)
+        return
+    if node.tag in _PRUNE_TAGS:
+        return
+    for c in node.children:
+        _walk_block_text(c, in_link or node.tag == "a", parts, counts)
+
+
+def _has_block_descendant(el: Element) -> bool:
+    for c in el.children:
+        if isinstance(c, Element) and c.tag not in _PRUNE_TAGS:
+            if c.tag in _BLOCK_TAGS or _has_block_descendant(c):
+                return True
+    return False
+
+
+def main_text_blocks(html: str, min_chars: int = 25,
+                     max_link_density: float = 0.4) -> list[str]:
+    """Content blocks of *html* in document order, boilerplate removed.
+
+    A LEAF block (an element in ``_BLOCK_TAGS`` with no block-tag
+    descendant) survives iff its whitespace-collapsed text is at least
+    *min_chars* long AND the fraction of that text living under ``<a>``
+    is at most *max_link_density* (link-farm nav rows die here even when
+    their container isn't a semantic ``<nav>``). Subtrees under
+    ``_PRUNE_TAGS`` never contribute. Text hanging directly off a
+    non-block container (``body`` prose outside any block) is not
+    segmented — block segmentation is the jusText contract.
+    """
+    blocks: list[str] = []
+
+    def visit(el: Element) -> None:
+        if el.tag in _PRUNE_TAGS:
+            return
+        if el.tag in _BLOCK_TAGS and not _has_block_descendant(el):
+            parts: list[str] = []
+            counts = [0, 0]
+            for c in el.children:
+                _walk_block_text(c, False, parts, counts)
+            total, link = counts
+            if total >= min_chars and link <= max_link_density * total:
+                blocks.append(" ".join(parts))
+            return
+        for c in el.children:
+            if isinstance(c, Element):
+                visit(c)
+
+    visit(_parse_cached(html))
+    return blocks
+
+
+def main_text(html: str, min_chars: int = 25,
+              max_link_density: float = 0.4) -> str:
+    """Newline-joined :func:`main_text_blocks` — the document's main text."""
+    return "\n".join(main_text_blocks(html, min_chars, max_link_density))

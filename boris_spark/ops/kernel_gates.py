@@ -252,3 +252,64 @@ def robots_parse(spark, sf_dir):
             })
 
     return o.mapInPandas(run, "o_orderkey long, disallow_prefix string")
+
+
+@q(
+    "doc_main_text",
+    """
+    SELECT o_orderkey,
+           'Order ' || o_orderkey || ' was shipped with priority handling '
+           || 'and arrived in good condition.' || chr(10)
+           || 'Customer feedback for order ' || o_orderkey
+           || ': careful packaging, prompt delivery window.' AS main_text,
+           CAST(2 AS INTEGER) AS n_blocks
+    FROM orders
+    """,
+)
+def doc_main_text(spark, sf_dir):
+    """Boilerplate-removal gate (kernel/htmlkit.py main_text — jusText-style
+    leaf-block segmentation): the <nav> prunes, the link-farm div dies on
+    link density, the short <p> dies on min length, raw whitespace runs
+    collapse, and the two content paragraphs survive newline-joined. The
+    expected text is closed-form in the key, so the oracle is plain SQL.
+    Not a reference op — the training-data-pipeline step downstream of the
+    crawl (reference extraction stops at xpath/text, html/xpath.rkt)."""
+    from ..kernel.htmlkit import main_text, main_text_blocks
+
+    o = _orders_keyed(spark, sf_dir)
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for k in pdf["o_orderkey"]:
+                html = (
+                    f"<html><head><title>Order {k}</title>"
+                    "<style>p { color: red }</style></head><body>\n"
+                    "<nav><a href='/'>Home</a> <a href='/orders'>All "
+                    "orders</a></nav>\n"
+                    "<div id='content'>\n"
+                    f"  <p>Order {k} was shipped\n     with priority "
+                    "handling and arrived in good condition.</p>\n"
+                    f"  <p>Customer feedback for order {k}: careful "
+                    "packaging, prompt delivery window.</p>\n"
+                    "  <p>ok</p>\n"
+                    "</div>\n"
+                    "<div class='related'><a href='/o/1'>Related order "
+                    "one</a> <a href='/o/2'>Related order two</a></div>\n"
+                    "<footer>Copyright 2026 Example Corp.</footer>\n"
+                    "</body></html>"
+                )
+                rows.append({
+                    "o_orderkey": k,
+                    "main_text": main_text(html),
+                    "n_blocks": len(main_text_blocks(html)),
+                })
+            yield pd.DataFrame(
+                rows, columns=["o_orderkey", "main_text", "n_blocks"]
+            )
+
+    return o.mapInPandas(
+        run, "o_orderkey long, main_text string, n_blocks int"
+    )

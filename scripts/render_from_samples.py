@@ -41,6 +41,19 @@ def best(pool: list[dict]) -> dict:
     return max(pool, key=lambda d: d["crawl"]["urls_per_sec"])
 
 
+def qmin(pool: list[dict]) -> dict:
+    """Per-query MIN wall across every sample at one level — the same
+    min-wall uncontended-cost estimator as best-of-N, applied symmetrically
+    to both levels (a sample's query phase can land in a different
+    hypervisor-steal window than its crawl phase)."""
+    out: dict[str, float] = {}
+    for d in pool:
+        for name, wall in d["queries"].items():
+            if name not in out or wall < out[name]:
+                out[name] = wall
+    return out
+
+
 def main():
     path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/samples_r4.jsonl"
     pools = load(path)
@@ -50,7 +63,8 @@ def main():
     reps = min(len(pools["8-uniform"]), len(pools["32-uniform"]))
     n_pages = hi["crawl"]["pages"]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    render(lo, hi, n_pages, reps, sf_dir, sk_lo, sk_hi)
+    render(lo, hi, n_pages, reps, sf_dir, sk_lo, sk_hi,
+           qmin(pools["8-uniform"]), qmin(pools["32-uniform"]))
     # larger-corpus single-level witness (VERDICT r3 #3: 480k-page target)
     extras = []
     if "32-uniform480" in pools:

@@ -49,6 +49,7 @@ FAST = [
     "crawl2_seen",
     "warc_ingest",
     "robots_parse",
+    "doc_main_text",
 ]
 
 

@@ -405,3 +405,74 @@ def test_xpath_axis_boundaries_rejected():
         xpath("<p>x</p>", "//p/ancestor::text()")
     with pytest.raises(ValueError):  # still-unsupported axis stays loud
         xpath("<p>x</p>", "//p/preceding-sibling::b")
+
+
+# ------------------------------------------------- main_text (boilerplate)
+
+def test_main_text_realistic_article():
+    # Hand-written real-world-shaped page: chrome in nav/header/footer,
+    # a link-farm sidebar div, script/style noise, content in <article>.
+    from boris_spark.kernel.htmlkit import main_text
+
+    page = """<!doctype html>
+<html><head><title>Widget fails under load — devblog</title>
+<style>.x { display: none }</style>
+<script>var analytics = "tracking";</script></head>
+<body>
+<header><h1>devblog</h1><a href="/subscribe">Subscribe now</a></header>
+<nav><ul><li><a href="/">Home</a></li><li><a href="/archive">Archive</a></li></ul></nav>
+<article>
+  <h2>Widget fails under load: a post-mortem of last Tuesday</h2>
+  <p>On Tuesday the widget service fell over when the queue depth
+     crossed ten thousand; this post walks through the failure.</p>
+  <p>The root cause was a retry loop that doubled the load exactly
+     when the backend was least able to absorb it. See
+     <a href="/retry">our retry guide</a> for the general pattern.</p>
+</article>
+<div class="sidebar">
+  <a href="/p1">Popular post one</a> <a href="/p2">Popular post two</a>
+  <a href="/p3">Popular post three</a>
+</div>
+<footer>Copyright 2026 devblog. <a href="/tos">Terms</a></footer>
+</body></html>"""
+    assert main_text(page) == (
+        "Widget fails under load: a post-mortem of last Tuesday\n"
+        "On Tuesday the widget service fell over when the queue depth "
+        "crossed ten thousand; this post walks through the failure.\n"
+        "The root cause was a retry loop that doubled the load exactly "
+        "when the backend was least able to absorb it. See "
+        "our retry guide for the general pattern."
+    )
+
+
+def test_main_text_link_density_boundary():
+    from boris_spark.kernel.htmlkit import main_text_blocks
+
+    # exactly at the 0.4 boundary: 40 total chars, 16 link chars → kept
+    kept = "<p>aaaaaaaaaaaaaaaaaaaaaaaa<a href=x>bbbbbbbbbbbbbbbb</a></p>"
+    assert len(main_text_blocks(kept)) == 1
+    # one char over: 17/41 > 0.4 → dropped
+    dropped = "<p>aaaaaaaaaaaaaaaaaaaaaaaa<a href=x>bbbbbbbbbbbbbbbbb</a></p>"
+    assert main_text_blocks(dropped) == []
+
+
+def test_main_text_edge_cases():
+    from boris_spark.kernel.htmlkit import main_text, main_text_blocks
+
+    assert main_text("") == ""
+    assert main_text("<nav><a href=/>only navigation chrome here</a></nav>") == ""
+    # nested blocks: only the leaves segment
+    assert main_text_blocks(
+        "<div><section><p>The innermost paragraph is the one that counts "
+        "here.</p></section></div>"
+    ) == ["The innermost paragraph is the one that counts here."]
+    # table layout: long td kept, link-only td dropped
+    assert main_text_blocks(
+        "<table><tr><td>Cell one carries enough prose to count as body "
+        "content.</td><td><a href=a>x</a> <a href=b>y</a></td></tr></table>"
+    ) == ["Cell one carries enough prose to count as body content."]
+    # prune subtree wins even when block-shaped content hides inside it
+    assert main_text(
+        "<footer><p>Legal boilerplate long enough to pass the length "
+        "bar easily.</p></footer>"
+    ) == ""
