@@ -766,6 +766,72 @@ def token_count(spark, sf_dir):
     )
 
 
+@q(
+    "decontaminate_ngram",
+    """
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    probes AS (
+      SELECT doc_id AS pid,
+             array_to_string(list_slice(toks, 5, 7), ' ') AS probe
+      FROM docs WHERE doc_id % 100 = 0 AND len(toks) >= 7
+    ),
+    wins AS (
+      SELECT d.doc_id,
+             array_to_string(list_slice(d.toks, g.i, g.i + 2), ' ') AS win
+      FROM docs d,
+           LATERAL (SELECT unnest(range(1, greatest(len(d.toks) - 1, 1))) AS i) g
+    )
+    SELECT w.doc_id, count(DISTINCT p.pid) AS n_probes_hit
+    FROM wins w JOIN probes p ON w.win = p.probe
+    GROUP BY w.doc_id
+    """,
+)
+def decontaminate_ngram(spark, sf_dir):
+    """Benchmark decontamination: flag corpus documents containing any
+    held-out-set n-gram verbatim — the exact-overlap scan GPT-3/PaLM-style
+    pipelines run before training (published practice uses 8-13-token
+    grams; 3 here because the synthetic vocabulary is tiny). The held-out
+    probe set is derived deterministically from the corpus (tokens 5-7 of
+    every doc_id % 100 == 0 document), so every probe self-hits its source
+    doc and the gate output is non-empty at every sf.
+
+    100 TB shape: the probe set is small by construction (a benchmark is
+    thousands of grams, not billions) → broadcast hash join against the
+    exploded token windows, which are never shuffled pre-join; the only
+    shuffle is the final per-doc aggregation. No quadratic form anywhere —
+    corpus×benchmark contains() is the oracle's job, not the plan's."""
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    probes = (
+        docs.filter((F.col("doc_id") % 100 == 0) & (F.size("toks") >= 7))
+        .select(
+            F.col("doc_id").alias("pid"),
+            F.array_join(F.slice("toks", 5, 3), " ").alias("probe"),
+        )
+    )
+    n = F.size("toks")
+    wins = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                n >= 3,
+                F.transform(
+                    F.sequence(F.lit(1), n - F.lit(2)),
+                    lambda i: F.array_join(F.slice("toks", i, 3), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("win"),
+    )
+    return (
+        wins.join(F.broadcast(probes), wins.win == probes.probe)
+        .groupBy("doc_id")
+        .agg(F.count_distinct("pid").cast("long").alias("n_probes_hit"))
+    )
+
+
 _LANG_MARKERS = [
     ("en", " the "), ("de", " der "), ("fr", " les "), ("es", " las "), ("it", " della "),
 ]

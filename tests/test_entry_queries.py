@@ -50,6 +50,7 @@ FAST = [
     "warc_ingest",
     "robots_parse",
     "doc_main_text",
+    "decontaminate_ngram",
 ]
 
 
