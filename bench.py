@@ -44,6 +44,8 @@ BENCH_QUERIES = [
     "events_sessionize_stream",
     "tpch_q3_revenue",
     "url_canonicalize",
+    "doc_main_text",
+    "decontaminate_ngram",
 ]
 
 
@@ -212,6 +214,7 @@ def main():
     n_pages = int(os.environ.get("BORIS_BENCH_PAGES", "60000"))
 
     from boris_spark.engine.session import get_spark
+    from boris_spark.ops import kernel_gates as _kg  # noqa: F401 — registers gates
     from boris_spark.ops.queries import QUERIES
 
     spark = get_spark("boris-bench", cores=cpus)

@@ -19,7 +19,17 @@ from .queries import T, q
 
 
 def _orders_keyed(spark, sf_dir):
-    return T(spark, sf_dir, "orders").select("o_orderkey")
+    # one slim-key shuffle so the Python-CPU stage downstream runs on every
+    # core: the testdata orders table is a single small parquet file → a
+    # 1-partition scan, which would serialize every kernel gate's
+    # mapInPandas onto one core (at production scale the scan's file count
+    # provides the parallelism; a CPU-heavy Arrow stage after a tiny scan
+    # still wants this spread)
+    return (
+        T(spark, sf_dir, "orders")
+        .select("o_orderkey")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
 
 @q(
@@ -263,7 +273,7 @@ def robots_parse(spark, sf_dir):
            || 'Customer feedback for order ' || o_orderkey
            || ': careful packaging, prompt delivery window.' AS main_text,
            CAST(2 AS INTEGER) AS n_blocks
-    FROM orders
+    FROM orders WHERE o_orderkey % 10 = 0
     """,
 )
 def doc_main_text(spark, sf_dir):
@@ -276,7 +286,10 @@ def doc_main_text(spark, sf_dir):
     crawl (reference extraction stops at xpath/text, html/xpath.rkt)."""
     from ..kernel.htmlkit import main_text, main_text_blocks
 
-    o = _orders_keyed(spark, sf_dir)
+    # deterministic 1-in-10 subset: the gate's value is semantic (prune /
+    # density / length / collapse all exercised per row); the full-orders
+    # form just multiplies identical work (24 s at sf0.1)
+    o = _orders_keyed(spark, sf_dir).filter(F.col("o_orderkey") % 10 == 0)
 
     def run(batches):
         import pandas as pd

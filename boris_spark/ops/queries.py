@@ -402,7 +402,9 @@ def url_canonicalize(spark, sf_dir):
             F.lit(";sess=9?q="), F.col("o_orderstatus"),
             F.lit("&p="), F.col("o_orderpriority"), F.lit("#Frag"),
         ).alias("raw"),
-    )
+        # slim shuffle so the Python canonicalize stage isn't serialized on
+        # the testdata table's 1-partition scan (see kernel_gates._orders_keyed)
+    ).repartition(spark.sparkContext.defaultParallelism)
 
     def canon(batches):
         for pdf in batches:
