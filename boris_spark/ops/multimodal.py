@@ -32,7 +32,11 @@ def make_media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     text (stands in for encoded pixels/samples)."""
     import os
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    # spread the downstream decode/feature mapInPandas stages off the
+    # testdata table's single-file (1-partition) scan
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).repartition(spark.sparkContext.defaultParallelism)
     kind = F.element_at(
         F.array(*[F.lit(k) for k in MEDIA_KINDS]),
         (F.pmod("doc_id", F.lit(3)) + 1).cast("int"),

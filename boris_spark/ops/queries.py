@@ -951,8 +951,12 @@ def ann_cosine_topk(spark, sf_dir):
     qs = e.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
     )
+    # the testdata embeddings table is one small file → a 1-partition scan,
+    # which would run the whole corpus×query dot-product pass on one core;
+    # spread the corpus side (at production scale the file count does this)
     sims = (
-        e.join(F.broadcast(qs), F.col("q_id") != F.col("vec_id"))
+        e.repartition(spark.sparkContext.defaultParallelism)
+        .join(F.broadcast(qs), F.col("q_id") != F.col("vec_id"))
         .select(
             "q_id", F.col("vec_id").alias("neighbor_id"),
             F.round(_cosine(F.col("qv"), F.col("v")), 4).alias("sim"),
@@ -1103,7 +1107,9 @@ def ann_ivf_candidates(spark, sf_dir, k_clusters=64, nprobe=6, train_cap=16384):
                 "cluster": np.argmax(M @ Cb.T, axis=1),
             })
 
-    assigned = e.mapInPandas(assign, "vec_id long, v array<double>, cluster int")
+    assigned = e.repartition(spark.sparkContext.defaultParallelism).mapInPandas(
+        assign, "vec_id long, v array<double>, cluster int"
+    )  # spread the GEMM pass off the testdata table's 1-partition scan
 
     # query side: ten vectors — their nprobe closest centroids computed
     # driver-side (10×k dot products), shipped as a tiny broadcast frame
