@@ -46,6 +46,8 @@ BENCH_QUERIES = [
     "url_canonicalize",
     "doc_main_text",
     "decontaminate_ngram",
+    "pii_redact",
+    "doc_repetition",
 ]
 
 

@@ -834,6 +834,110 @@ def decontaminate_ngram(spark, sf_dir):
     )
 
 
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IP = r"\b(\d{1,3}\.){3}\d{1,3}\b"
+_PII_PHONE = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
+
+
+@q(
+    "pii_redact",
+    f"""
+    WITH raw AS (
+      SELECT o_orderkey,
+             'Contact user' || o_orderkey || '@example.com or +1-555-'
+             || lpad(CAST(o_orderkey % 10000 AS VARCHAR), 4, '0')
+             || ' from host 10.' || (o_orderkey % 256)
+             || '.0.1 re order ' || o_orderkey AS text
+      FROM orders
+    )
+    SELECT o_orderkey,
+           regexp_replace(regexp_replace(regexp_replace(text,
+               '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_IP}', '<IP>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g') AS redacted
+    FROM raw
+    """,
+)
+def pii_redact(spark, sf_dir):
+    """PII redaction: scrub emails, IPv4 addresses, and phone numbers to
+    typed placeholder tokens — the CCNet/Dolma-style pre-training scrub
+    step. Pure JVM regexp_replace chain (codegen'd, zero shuffle); the
+    patterns stay inside the Java∩RE2 regex subset so the DuckDB oracle
+    runs them verbatim. Order matters: emails first (they contain digits),
+    then IPs (dotted digits), then the dot-free phone pattern, which can no
+    longer eat IP fragments. Input synthesized closed-form from order keys
+    (the corpus tables carry no PII by construction)."""
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.concat(
+            F.lit("Contact user"), F.col("o_orderkey").cast("string"),
+            F.lit("@example.com or +1-555-"),
+            F.lpad(F.pmod("o_orderkey", F.lit(10000)).cast("string"), 4, "0"),
+            F.lit(" from host 10."),
+            F.pmod("o_orderkey", F.lit(256)).cast("string"),
+            F.lit(".0.1 re order "), F.col("o_orderkey").cast("string"),
+        ).alias("text"),
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("text", _PII_EMAIL, "<EMAIL>"),
+            _PII_IP, "<IP>",
+        ),
+        _PII_PHONE, "<PHONE>",
+    )
+    return o.select("o_orderkey", red.alias("redacted"))
+
+
+@q(
+    "doc_repetition",
+    """
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    wins AS (
+      SELECT d.doc_id,
+             array_to_string(list_slice(d.toks, g.i, g.i + 2), ' ') AS win
+      FROM docs d,
+           LATERAL (SELECT unnest(range(1, greatest(len(d.toks) - 1, 1))) AS i) g
+    ),
+    counts AS (
+      SELECT doc_id, win, count(*) AS c FROM wins GROUP BY doc_id, win
+    )
+    SELECT doc_id, CAST(max(c) AS BIGINT) AS max_ngram_count,
+           round(max(c) / sum(c), 4) AS top_ngram_frac
+    FROM counts GROUP BY doc_id
+    """,
+)
+def doc_repetition(spark, sf_dir):
+    """Intra-document repetition score: the most-repeated token 3-gram's
+    count and its share of the document's 3-gram mass — the duplicated-
+    substring quality signal from the dedup-training-data line of work
+    (Lee et al. 2021 measure cross- and intra-doc repetition; boilerplate
+    and spam score high). Two shuffles, both with map-side partial
+    aggregation: (doc_id, window)-count, then per-doc max/sum."""
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    n = F.size("toks")
+    wins = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                n >= 3,
+                F.transform(
+                    F.sequence(F.lit(1), n - F.lit(2)),
+                    lambda i: F.array_join(F.slice("toks", i, 3), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("win"),
+    )
+    counts = wins.groupBy("doc_id", "win").agg(F.count("*").alias("c"))
+    return counts.groupBy("doc_id").agg(
+        F.max("c").cast("long").alias("max_ngram_count"),
+        F.round(F.max("c") / F.sum("c"), 4).alias("top_ngram_frac"),
+    )
+
+
 _LANG_MARKERS = [
     ("en", " the "), ("de", " der "), ("fr", " les "), ("es", " las "), ("it", " della "),
 ]

@@ -67,6 +67,13 @@ EXPECTATIONS = {
     # windows (windows never shuffle pre-join); the only exchange is the
     # per-doc aggregation
     "decontaminate_ngram": ["BroadcastHashJoin", "HashAggregate"],
+    # PII scrub: pure codegen'd projection, single-column scan, no exchange
+    "pii_redact": ["ReadSchema: struct<o_orderkey:bigint>"],
+    # repetition score: both aggregations carry map-side partial agg
+    "doc_repetition": [
+        "HashAggregate",
+        "ReadSchema: struct<doc_id:bigint,text:string>",
+    ],
 }
 
 # query → substrings that must NOT appear (the round-1 defect signatures)

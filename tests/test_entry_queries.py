@@ -51,6 +51,8 @@ FAST = [
     "robots_parse",
     "doc_main_text",
     "decontaminate_ngram",
+    "pii_redact",
+    "doc_repetition",
 ]
 
 
