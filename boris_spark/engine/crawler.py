@@ -671,9 +671,17 @@ class CrawlEngine:
             .otherwise(F.lit("jvmrep"))
         )
         routed_path = self._path("cascade_tmp", f"routed={rnd}")
-        base.withColumn("seg", seg_col).drop("_fresh", "_hit").write.partitionBy(
-            "seg"
-        ).mode("overwrite").parquet(routed_path)
+        # the routed rows are SLIM (no bodies) and every downstream consumer
+        # re-partitions for its own needs (fresh → url_canon co-location,
+        # pyrep → cogroup exchange), so the write's partitioning is pure
+        # task/file overhead: collapse to a few write tasks instead of
+        # shuffle_partitions × segs tiny files + footers per round — at
+        # politeness-bound (many-round, few-rows) tiers this is a per-round
+        # fixed cost that doesn't shrink with cores
+        route_parts = int(os.environ.get("BORIS_ROUTE_PARTS", "4"))
+        base.withColumn("seg", seg_col).drop("_fresh", "_hit").repartition(
+            route_parts
+        ).write.partitionBy("seg").mode("overwrite").parquet(routed_path)
         self._tmp_sink_paths.append(routed_path)
         segs = {
             d[4:]: self._pq_rows(os.path.join(routed_path, d))
