@@ -938,6 +938,37 @@ def doc_repetition(spark, sf_dir):
     )
 
 
+@q(
+    "corpus_sample_stratified",
+    """
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang ORDER BY n_chars DESC, doc_id
+             ) AS rnk
+      FROM documents
+    )
+    SELECT doc_id, lang, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 20
+    """,
+)
+def corpus_sample_stratified(spark, sf_dir):
+    """Stratified corpus sampling: deterministic top-k documents per
+    language stratum (by length, doc_id tiebreak) — the data-mixing /
+    language-balancing curation step of a webtext pipeline. One shuffle on
+    the stratum key; Spark's rank-limit pushdown (WindowGroupLimit) keeps
+    per-partition state at k rows instead of sorting whole strata, which
+    is what makes a 10^10-doc stratified sample feasible."""
+    d = T(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.col("n_chars").desc(), "doc_id")
+    return (
+        d.select("doc_id", "lang", "n_chars")
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 20)
+        .select("doc_id", "lang", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
 _LANG_MARKERS = [
     ("en", " the "), ("de", " der "), ("fr", " les "), ("es", " las "), ("it", " della "),
 ]

@@ -74,6 +74,12 @@ EXPECTATIONS = {
         "HashAggregate",
         "ReadSchema: struct<doc_id:bigint,text:string>",
     ],
+    # stratified sample: rank-limit pushdown keeps per-partition state at
+    # k rows per stratum instead of sorting whole strata
+    "corpus_sample_stratified": [
+        "WindowGroupLimit",
+        "ReadSchema: struct<doc_id:bigint,lang:string,n_chars:bigint>",
+    ],
 }
 
 # query → substrings that must NOT appear (the round-1 defect signatures)

@@ -53,6 +53,7 @@ FAST = [
     "decontaminate_ngram",
     "pii_redact",
     "doc_repetition",
+    "corpus_sample_stratified",
 ]
 
 
