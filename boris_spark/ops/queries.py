@@ -969,6 +969,38 @@ def corpus_sample_stratified(spark, sf_dir):
     )
 
 
+@q(
+    "vocab_topk",
+    """
+    WITH t AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    )
+    SELECT tok,
+           CAST(count(*) AS BIGINT) AS freq,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+    FROM t GROUP BY tok
+    ORDER BY freq DESC, tok LIMIT 50
+    """,
+)
+def vocab_topk(spark, sf_dir):
+    """Corpus vocabulary building: global top-k tokens by frequency with
+    per-token document frequency — the tokenizer-training / vocab-pruning
+    precursor step of a webtext pipeline. One aggregation shuffle on the
+    token key (map-side partial agg over the exploded tokens; the distinct
+    doc-count rides the same expand), then a global top-k that Catalyst
+    plans as TakeOrderedAndProject: per-partition bounded heaps merged at
+    the driver — k rows per task cross the wire, never the 10^8-entry
+    vocabulary itself. Ties broken by token string so the returned SET is
+    deterministic."""
+    d = T(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    agg = toks.groupBy("tok").agg(
+        F.count("*").cast("long").alias("freq"),
+        F.countDistinct("doc_id").cast("long").alias("doc_freq"),
+    )
+    return agg.orderBy(F.desc("freq"), "tok").limit(50)
+
+
 _LANG_MARKERS = [
     ("en", " the "), ("de", " der "), ("fr", " les "), ("es", " las "), ("it", " della "),
 ]

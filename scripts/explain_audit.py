@@ -80,6 +80,9 @@ EXPECTATIONS = {
         "WindowGroupLimit",
         "ReadSchema: struct<doc_id:bigint,lang:string,n_chars:bigint>",
     ],
+    # vocab: global top-k planned as bounded per-partition heaps, never a
+    # full sort of the vocabulary
+    "vocab_topk": ["TakeOrderedAndProject", "HashAggregate"],
 }
 
 # query → substrings that must NOT appear (the round-1 defect signatures)

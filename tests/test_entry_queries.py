@@ -54,6 +54,7 @@ FAST = [
     "pii_redact",
     "doc_repetition",
     "corpus_sample_stratified",
+    "vocab_topk",
 ]
 
 
