@@ -151,9 +151,14 @@ def crawl_bench(spark, n_pages: int, workdir: str) -> dict:
             fetch_fn=webgen.make_fetcher(n_pages, seed, weight), **kw,
         )
     else:
+        # cache key must include the host distribution (BORIS_HOST_DIST):
+        # the uniform control tier reshapes host ranges, so its corpus bytes
+        # differ from the zipf default at the same (pages, seed, weight)
+        dist = os.environ.get("BORIS_HOST_DIST", "zipf")
+        dist_tag = "" if dist == "zipf" else f"_{dist}"
         corpus_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), ".bench_data",
-            f"pages_{n_pages}_{seed}_w{weight}",
+            f"pages_{n_pages}_{seed}_w{weight}{dist_tag}",
         )
         build_corpus(spark, n_pages, seed, corpus_path, weight)
         eng = CrawlEngine(spark, spark.read.parquet(corpus_path), workdir, **kw)

@@ -27,6 +27,7 @@ Two generators:
 from __future__ import annotations
 
 import datetime as dt
+import os
 
 from ..kernel import htmlkit, xxh64_str
 
@@ -51,11 +52,26 @@ from bisect import bisect_right
 from functools import lru_cache
 
 
+def _dist() -> str:
+    """Host-size distribution: 'zipf' (default — host 0 owns half of all
+    pages) or 'uniform' (equal host sizes). The uniform mode exists for the
+    scaling bench's CONTROL tier: same binding politeness budget and round
+    count as the skew tier, but no mega-host, so the skew-vs-control
+    efficiency ratio isolates the cost of skew handling from round-count
+    amortization. Env-keyed because the bench runs each tier in its own
+    subprocess with BORIS_HOST_DIST set."""
+    return os.environ.get("BORIS_HOST_DIST", "zipf")
+
+
 @lru_cache(maxsize=32)
-def _host_bounds(n_pages: int) -> list[int]:
-    """Start offset of each host's contiguous id range. Host 0 owns the first
-    half of all pages, host 1 half of the rest, ... — a heavy Zipf-ish skew."""
+def _host_bounds_for(n_pages: int, dist: str) -> list[int]:
+    """Start offset of each host's contiguous id range. zipf: host 0 owns
+    the first half of all pages, host 1 half of the rest, ...; uniform:
+    equal-size ranges."""
     H = n_hosts(n_pages)
+    if dist == "uniform":
+        per = max(1, n_pages // H)
+        return [lo for lo in range(0, n_pages, per)][:H]
     bounds, lo, size = [0], 0, n_pages
     for _ in range(H - 1):
         half = max(1, size // 2)
@@ -65,6 +81,10 @@ def _host_bounds(n_pages: int) -> list[int]:
             break
         bounds.append(lo)
     return bounds
+
+
+def _host_bounds(n_pages: int) -> list[int]:
+    return _host_bounds_for(n_pages, _dist())
 
 
 def _host_of_page(page: int, n_pages: int, seed: int) -> tuple[str, int, int]:

@@ -19,7 +19,7 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.join(REPO, "scripts"))
 
-from scaling_bench import SKEW_ENV, run  # noqa: E402
+from scaling_bench import CONTROL_ENV, SKEW_ENV, run  # noqa: E402
 
 POOL = os.environ.get("BORIS_SAMPLE_POOL", "/tmp/samples_r4.jsonl")
 
@@ -28,6 +28,8 @@ SPECS = {
     "32-uniform": (32, 240000, {}),
     "8-skew": (8, 240000, SKEW_ENV),
     "32-skew": (32, 240000, SKEW_ENV),
+    "8-control": (8, 240000, CONTROL_ENV),
+    "32-control": (32, 240000, CONTROL_ENV),
     "32-uniform480": (32, 480000, {"BORIS_CRAWL_ONLY": "1"}),
     "32-quick60k": (32, 60000, {"BORIS_PAGE_WEIGHT": "8"}),
 }

@@ -60,11 +60,14 @@ def main():
     lo, hi = best(pools["8-uniform"]), best(pools["32-uniform"])
     sk_lo = best(pools["8-skew"]) if "8-skew" in pools else None
     sk_hi = best(pools["32-skew"]) if "32-skew" in pools else None
+    ct_lo = best(pools["8-control"]) if "8-control" in pools else None
+    ct_hi = best(pools["32-control"]) if "32-control" in pools else None
     reps = min(len(pools["8-uniform"]), len(pools["32-uniform"]))
     n_pages = hi["crawl"]["pages"]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     render(lo, hi, n_pages, reps, sf_dir, sk_lo, sk_hi,
-           qmin(pools["8-uniform"]), qmin(pools["32-uniform"]))
+           qmin(pools["8-uniform"]), qmin(pools["32-uniform"]),
+           ct_lo=ct_lo, ct_hi=ct_hi)
     # larger-corpus single-level witness (VERDICT r3 #3: 480k-page target)
     extras = []
     if "32-uniform480" in pools:

@@ -55,6 +55,24 @@ def best_of(
 # task. Crawl-only (the query suite doesn't depend on politeness shape).
 SKEW_ENV = {"BORIS_POLITENESS_K": "2000", "BORIS_CRAWL_ONLY": "1"}
 
+# Control tier for the skew experiment: SAME binding politeness regime and
+# ~same round count as the skew tier, but a uniform host distribution (no
+# mega-host — BORIS_HOST_DIST=uniform re-shapes the synthetic web's host
+# ranges; page ids, link structure, and page bytes are unchanged). The skew
+# tier differs from the uniform headline tier in TWO ways at once (a
+# mega-host AND 30 budget-bound rounds instead of 4), so their efficiency
+# ratio conflates skew handling with round-count amortization of the
+# per-round fixed cost C. skew-vs-CONTROL is the apples-to-apples ratio:
+# both tiers pay ~30·C, so any residual gap is attributable to the
+# mega-host path (the salted two-phase window + its deferred recycling).
+# k=15 ≈ the per-round fetch volume of the skew tier's k=2000 spread over
+# the uniform corpus's ~244 hosts.
+CONTROL_ENV = {
+    "BORIS_POLITENESS_K": "15",
+    "BORIS_CRAWL_ONLY": "1",
+    "BORIS_HOST_DIST": "uniform",
+}
+
 
 def _ceiling_work(args):
     lo, cnt = args
@@ -106,19 +124,23 @@ def main():
             if l.startswith('{"metric"')
         ]
         lo, hi = json.loads(lines[0]), json.loads(lines[1])
-        sk = [json.loads(l) for l in lines[2:4]]
-        sk_lo, sk_hi = (sk + [None, None])[:2]
-        render(lo, hi, n_pages, reps, sf_dir, sk_lo, sk_hi)
+        sk = [json.loads(l) for l in lines[2:6]]
+        sk_lo, sk_hi, ct_lo, ct_hi = (sk + [None] * 4)[:4]
+        render(lo, hi, n_pages, reps, sf_dir, sk_lo, sk_hi,
+               ct_lo=ct_lo, ct_hi=ct_hi)
         return
     # first run at 32 cores also generates the shared corpus cache
     lo = best_of(reps, 8, n_pages, sf_dir)
     hi = best_of(reps, 32, n_pages, sf_dir)
-    sk_lo = sk_hi = None
+    sk_lo = sk_hi = ct_lo = ct_hi = None
     if os.environ.get("BORIS_SKEW", "1") != "0":
         sk_reps = int(os.environ.get("BORIS_SKEW_REPS", str(reps)))
         sk_lo = best_of(sk_reps, 8, n_pages, sf_dir, SKEW_ENV)
         sk_hi = best_of(sk_reps, 32, n_pages, sf_dir, SKEW_ENV)
-    render(lo, hi, n_pages, reps, sf_dir, sk_lo, sk_hi)
+        ct_lo = best_of(sk_reps, 8, n_pages, sf_dir, CONTROL_ENV)
+        ct_hi = best_of(sk_reps, 32, n_pages, sf_dir, CONTROL_ENV)
+    render(lo, hi, n_pages, reps, sf_dir, sk_lo, sk_hi,
+           ct_lo=ct_lo, ct_hi=ct_hi)
 
 
 def _tier_decomposition(lo, hi, sk_lo, sk_hi, ceil_speedup) -> str:
@@ -169,7 +191,7 @@ carries millions of fetches, so C/round amortizes away; the
 
 
 def render(lo, hi, n_pages, reps, sf_dir, sk_lo=None, sk_hi=None,
-           qmin_lo=None, qmin_hi=None):
+           qmin_lo=None, qmin_hi=None, ct_lo=None, ct_hi=None):
     # qmin_lo/qmin_hi: optional per-query MIN walls across the whole sample
     # pool at each level (same estimator as best_of's min-wall rationale,
     # applied symmetrically). Used ONLY for the per-query table — the
@@ -239,12 +261,52 @@ Crawl-only runs (the query suite is politeness-independent).
 
 Skew-tier raw N→4N efficiency = **{sk_eff:.2f}** (uniform tier: {eff:.2f});
 ceiling-normalized = **{sk_norm:.2f}**. Determinism across levels: {sk_det}.
-Pass bar (VERDICT r3 #5): skew-tier efficiency within 1.3× of the uniform
-tier's — ratio = {(eff / sk_eff if sk_eff else float('inf')):.2f}.
+Raw ratio vs the 4-round uniform tier = {(eff / sk_eff if sk_eff else float('inf')):.2f} — but that
+comparison conflates the mega-host with round count (30 budget-bound
+rounds vs 4, each paying the fixed per-round cost C); the matched-round
+CONTROL tier below is the apples-to-apples skew bar.
 
 {_tier_decomposition(lo, hi, sk_lo, sk_hi, ceil_speedup)}
 """
         skew_json = f"{json.dumps(sk_lo)}\n{json.dumps(sk_hi)}\n"
+        if ct_lo and ct_hi:
+            ct_tlo = ct_lo["crawl"]["urls_per_sec"]
+            ct_thi = ct_hi["crawl"]["urls_per_sec"]
+            ct_eff = (ct_thi / ct_tlo) / 4
+            cc8 = ct_lo["crawl"].get("ceiling_pages_per_sec") or 1
+            cc32 = ct_hi["crawl"].get("ceiling_pages_per_sec") or 1
+            ct_norm = (ct_thi / ct_tlo) / (cc32 / cc8)
+            ct_det = (
+                ct_lo["crawl"]["fetched"] == ct_hi["crawl"]["fetched"]
+                and ct_lo["crawl"]["extractions"] == ct_hi["crawl"]["extractions"]
+            )
+            ratio = ct_eff / sk_eff if sk_eff else float("inf")
+            ratio_n = ct_norm / sk_norm if sk_norm else float("inf")
+            skew_md += f"""
+### Matched-round CONTROL tier: same binding budget, no mega-host
+
+Identical page ids, bytes, and link structure, but UNIFORM host sizes
+(BORIS_HOST_DIST=uniform: ~244 equal hosts instead of host-0
+owning 50%), politeness k=15 chosen so the budget binds every round at the
+same per-round fetch volume as the skew tier. Both tiers now pay the same
+number of fixed-cost round barriers, so the efficiency ratio isolates the
+mega-host dequeue path (two-phase salted window + deferred recycling of
+~half the frontier every round) — the thing VERDICT r3 #5 asked to prove
+skew-safe at bench scale.
+
+| metric | control local[8] | control local[32] | skew local[8] | skew local[32] |
+|---|---|---|---|---|
+| rounds | {ct_lo['crawl']['rounds']} | {ct_hi['crawl']['rounds']} | {sk_lo['crawl']['rounds']} | {sk_hi['crawl']['rounds']} |
+| fetched | {ct_lo['crawl']['fetched']} | {ct_hi['crawl']['fetched']} | {sk_lo['crawl']['fetched']} | {sk_hi['crawl']['fetched']} |
+| crawl wall (s) | {ct_lo['crawl']['crawl_sec']} | {ct_hi['crawl']['crawl_sec']} | {sk_lo['crawl']['crawl_sec']} | {sk_hi['crawl']['crawl_sec']} |
+| throughput (urls/s) | {ct_tlo} | {ct_thi} | {st_lo} | {st_hi} |
+
+Control-tier raw N→4N efficiency = **{ct_eff:.2f}**, ceiling-normalized
+**{ct_norm:.2f}**; determinism across levels: {ct_det}.
+**Skew bar (matched rounds): control/skew efficiency ratio =
+{ratio:.2f} raw, {ratio_n:.2f} ceiling-normalized (bar: within 1.3×).**
+"""
+            skew_json += f"{json.dumps(ct_lo)}\n{json.dumps(ct_hi)}\n"
 
     qrows = "\n".join(
         f"| {name} | {q_lo.get(name, '-')} | {q_hi.get(name, '-')} | {_flag(name)} |"

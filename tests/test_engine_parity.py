@@ -629,3 +629,29 @@ def test_empty_replay_skips_store_scan(spark, tmp_path):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan, plan
     assert "EmptyRelation" in plan, plan
+
+
+def test_webgen_uniform_host_dist(monkeypatch):
+    """BORIS_HOST_DIST=uniform (the scaling bench's matched-round control
+    tier) re-shapes host ranges to equal sizes while page ids, bytes, and
+    link targets (in id space) stay identical to the zipf default."""
+    n = 10000
+    zipf_bounds = webgen._host_bounds_for(n, "zipf")
+    uni_bounds = webgen._host_bounds_for(n, "uniform")
+    assert zipf_bounds[1] == n // 2  # host 0 owns half under zipf
+    sizes = [b - a for a, b in zip(uni_bounds, uni_bounds[1:] + [n])]
+    assert max(sizes[:-1]) - min(sizes[:-1]) <= 1  # equal up to the tail
+    assert len(uni_bounds) == webgen.n_hosts(n)
+
+    monkeypatch.setenv("BORIS_HOST_DIST", "uniform")
+    # page bytes are dist-independent except for the host name in the title
+    html_u = webgen.page_html(1234, n, 42)
+    url_u = webgen.page_url(1234, n, 42)
+    # url->page inverse holds under the uniform dist
+    assert webgen.page_of_url(url_u, n, 42) == 1234
+    # link targets resolve to the same page ids as under zipf
+    links_u = [webgen.page_of_url(u, n, 42) for u in webgen.out_links(1234, n, 42)]
+    monkeypatch.setenv("BORIS_HOST_DIST", "zipf")
+    links_z = [webgen.page_of_url(u, n, 42) for u in webgen.out_links(1234, n, 42)]
+    assert links_u == links_z
+    assert webgen.page_html(1234, n, 42) != html_u  # host name differs
