@@ -331,7 +331,11 @@ class CrawlEngine:
                 n_req = self.table.delta_rows("frontier", rnd)
                 if n_req == 0:
                     break
-                requests = self.table.delta_df("frontier", rnd, REQUEST_SCHEMA)
+                # project to the request columns: part-structured deltas
+                # surface their fsrc partition column on read
+                requests = self.table.delta_df(
+                    "frontier", rnd, REQUEST_SCHEMA
+                ).select(*_REQ_COLS)
                 rt0 = time.time()
                 _, fetched, n_results, metrics = self._round(
                     requests, rnd, n_req
@@ -789,7 +793,9 @@ class CrawlEngine:
         first_out = outs[0] if outs else self._empty(CASCADE_SCHEMA)
         for o in outs[1:]:
             first_out = first_out.unionByName(o)
-        new_requests, n_results, gen_paths = self._cascade(
+        # the cascade's kind=request partitions are ADOPTED into the next
+        # frontier delta below — the returned lazy union is not used here
+        _, n_results, gen_paths = self._cascade(
             None, rnd + 1, first_out=first_out
         )
         _mark("fused_cascade")
@@ -873,18 +879,31 @@ class CrawlEngine:
             _commit_walls["seen_write"] = round(time.time() - t0, 2)
             return self._fold_seen_delta(rnd)
 
-        deferred = (
-            _seg("deferred") if segs.get("deferred", 0)
-            else self._empty(_ROUTED_SCHEMA)
-        )
-        frontier_next = new_requests.unionByName(deferred.select(*_REQ_COLS))
         f_seen = self._commit_pool.submit(_timed("seen_chain", _seen_chain))
-        f_front = self._commit_pool.submit(
-            _timed("frontier_ckpt", self._checkpoint_frontier,
-                   frontier_next, rnd + 1)
+        # Next round's frontier = this round's DEFERRED rows (already on
+        # disk: the routing job's seg=deferred partition) + the cascade's
+        # NEW request rows (already on disk: each generation's
+        # kind=request partition). ADOPT those directories as the round-
+        # (rnd+1) frontier delta — directory renames / one add_files
+        # commit, replacing a full frontier rewrite job per round. In
+        # politeness-bound regimes (many small rounds over a large pending
+        # set) that rewrite was the single biggest per-round fixed cost:
+        # the deferred rows — often >80% of the frontier — were parquet-
+        # encoded twice per round (once by the routing write, once by the
+        # checkpoint). The adopted kind=request files carry the full
+        # cascade schema; frontier readers project to REQUEST_SCHEMA.
+        t_adopt = time.time()
+        frontier_parts = []
+        if segs.get("deferred", 0):
+            frontier_parts.append(os.path.join(routed_path, "seg=deferred"))
+        frontier_parts += [
+            os.path.join(gp, "kind=request") for gp in gen_paths
+        ]
+        self.table.adopt_parts(
+            frontier_parts, "frontier", rnd + 1, REQUEST_SCHEMA
         )
+        _commit_walls["frontier_adopt"] = round(time.time() - t_adopt, 2)
         n_fetched, lineage = f_seen.result()
-        f_front.result()
         self._drain_commits()
         _mark("commits_overlapped")
 
@@ -1265,9 +1284,12 @@ class CrawlEngine:
         # propagates 1-2 partitions into the CPU-heavy python stages), and it
         # must be ROUND-ROBIN — partitioning by host would put the Zipf hot
         # host's half of the frontier into one straggler task.
+        # part="full": the frontier sink's deltas are part-structured
+        # because callable rounds ADOPT theirs from the routing/cascade
+        # outputs (adopt_parts below) — every delta must share the layout
         self.table.write_delta(
             df.repartition(self.spark.sparkContext.defaultParallelism),
-            "frontier", rnd,
+            "frontier", rnd, part="full",
         )
 
     def _drop_tmp_sinks(self) -> None:

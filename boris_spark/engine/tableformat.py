@@ -36,13 +36,35 @@ from pyspark.sql import DataFrame, SparkSession
 class TableFormat:
     """Durable-sink operations a crawl round needs; see module docstring."""
 
-    def write_delta(self, df: DataFrame, sink: str, rnd: int) -> None:
+    def write_delta(
+        self, df: DataFrame, sink: str, rnd: int, part: str | None = None
+    ) -> None:
+        """Write sink's round-``rnd`` delta. *part* names a sub-delta
+        component: a sink whose deltas are ever composed from multiple
+        adopted directories (``adopt_parts``) must write its job-produced
+        deltas under a part name too, so every delta of that sink has the
+        same one-level layout (Spark's partition discovery rejects mixed
+        depths). Formats without a directory layout ignore *part*."""
         raise NotImplementedError
 
     def adopt_delta(self, src_dir: str, sink: str, rnd: int) -> bool:
         """Adopt pre-written data files (e.g. a cascade output partition)
         as sink's round-``rnd`` delta without rewriting bytes. Returns
         False if *src_dir* does not exist (empty delta)."""
+        raise NotImplementedError
+
+    def adopt_parts(
+        self, src_dirs: list[str], sink: str, rnd: int, schema: str
+    ) -> int:
+        """Adopt SEVERAL pre-written directories as ONE round-``rnd``
+        delta of *sink*, committed atomically-enough for a crash-rerun of
+        the round to be idempotent (the whole previous round-``rnd`` delta
+        is replaced). The directories may carry different supersets of
+        *schema* (readers project to *schema*). Returns the number of
+        directories adopted (missing dirs are skipped). This is the
+        Iceberg fast-append shape: data files written by the producing
+        stages' own tasks, committed by reference in one snapshot — no
+        byte is re-encoded by a checkpoint job."""
         raise NotImplementedError
 
     def read_sink(self, sink: str, schema: str | None = None) -> DataFrame | None:
@@ -84,8 +106,24 @@ class ParquetManifestFormat(TableFormat):
     def _path(self, *parts: str) -> str:
         return os.path.join(self.workdir, *parts)
 
-    def write_delta(self, df: DataFrame, sink: str, rnd: int) -> None:
-        df.write.mode("overwrite").parquet(self._path(sink, f"round={rnd}"))
+    def write_delta(
+        self, df: DataFrame, sink: str, rnd: int, part: str | None = None
+    ) -> None:
+        if part is None:
+            df.write.mode("overwrite").parquet(self._path(sink, f"round={rnd}"))
+            return
+        # part-structured sink: clear the WHOLE round delta first (a rerun
+        # of an interrupted round must not leave stale sibling parts from
+        # the previous attempt's adopt_parts), then write under fsrc=part
+        # so every delta of the sink has the same one-level layout
+        import shutil
+
+        rdir = self._path(sink, f"round={rnd}")
+        if os.path.isdir(rdir):
+            shutil.rmtree(rdir)
+        df.write.mode("overwrite").parquet(
+            os.path.join(rdir, f"fsrc={part}")
+        )
 
     def adopt_delta(self, src_dir: str, sink: str, rnd: int) -> bool:
         import shutil
@@ -98,6 +136,26 @@ class ParquetManifestFormat(TableFormat):
             return False
         os.rename(src_dir, dst)
         return True
+
+    def adopt_parts(
+        self, src_dirs: list[str], sink: str, rnd: int, schema: str
+    ) -> int:
+        """Directory renames only — the producing stages already wrote the
+        data files; this is the Iceberg add_files/fast-append commit, with
+        the round directory standing in for the snapshot."""
+        import shutil
+
+        dst = self._path(sink, f"round={rnd}")
+        if os.path.isdir(dst):
+            shutil.rmtree(dst)  # re-run of an interrupted round
+        adopted = 0
+        for i, src in enumerate(src_dirs):
+            if not os.path.isdir(src):
+                continue
+            os.makedirs(dst, exist_ok=True)
+            os.rename(src, os.path.join(dst, f"fsrc=p{i}"))
+            adopted += 1
+        return adopted
 
     def read_sink(self, sink: str, schema: str | None = None) -> DataFrame | None:
         path = self._path(sink)
@@ -116,21 +174,25 @@ class ParquetManifestFormat(TableFormat):
         import pyarrow.parquet as pq
 
         path = self._path(sink, f"round={rnd}")
+        if not os.path.isdir(path):
+            return 0  # a round that adopted zero parts has no delta dir
         return sum(
-            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
-            for f in os.listdir(path) if f.endswith(".parquet")
+            pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+            for root, _dirs, files in os.walk(path)
+            for f in files if f.endswith(".parquet")
         )
 
     def sink_rows(self, sink: str) -> int:
         import pyarrow.parquet as pq
 
-        root = self._path(sink)
-        if not os.path.isdir(root):
+        top = self._path(sink)
+        if not os.path.isdir(top):
             return 0
         return sum(
-            pq.ParquetFile(os.path.join(root, d, f)).metadata.num_rows
-            for d in os.listdir(root) if d.startswith("round=")
-            for f in os.listdir(os.path.join(root, d)) if f.endswith(".parquet")
+            pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+            for d in os.listdir(top) if d.startswith("round=")
+            for root, _dirs, files in os.walk(os.path.join(top, d))
+            for f in files if f.endswith(".parquet")
         )
 
     def read_delta_pandas(self, sink: str, rnd: int, columns=None):
@@ -218,7 +280,11 @@ class LocalCatalogFormat(TableFormat):
             cols = self.spark.table(t).columns
             df.select(*cols).write.mode("overwrite").insertInto(t)
 
-    def write_delta(self, df: DataFrame, sink: str, rnd: int) -> None:
+    def write_delta(
+        self, df: DataFrame, sink: str, rnd: int, part: str | None = None
+    ) -> None:
+        # *part* is a directory-layout concern; a catalog table has rows,
+        # not directories, so it is ignored (Iceberg likewise)
         from pyspark.sql import functions as F
 
         df = df.withColumn("round", F.lit(rnd))
@@ -244,6 +310,31 @@ class LocalCatalogFormat(TableFormat):
         self.write_delta(self.spark.read.parquet(src_dir), sink, rnd)
         shutil.rmtree(src_dir, ignore_errors=True)
         return True
+
+    def adopt_parts(
+        self, src_dirs: list[str], sink: str, rnd: int, schema: str
+    ) -> int:
+        # Iceberg: ONE transaction of add_files over all directories. The
+        # session catalog has no add-files, so the parts are read (each
+        # projected to *schema* — they may carry different supersets of
+        # it) and committed in ONE dynamic-partition-overwrite append,
+        # which keeps the crash-rerun idempotency of the single-snapshot
+        # commit.
+        import shutil
+
+        present = [d for d in src_dirs if os.path.isdir(d)]
+        if not present:
+            return 0
+        parts = [
+            self.spark.read.schema(schema).parquet(d) for d in present
+        ]
+        union = parts[0]
+        for p in parts[1:]:
+            union = union.unionByName(p)
+        self.write_delta(union, sink, rnd)
+        for d in present:
+            shutil.rmtree(d, ignore_errors=True)
+        return len(present)
 
     def read_sink(self, sink: str, schema: str | None = None) -> DataFrame | None:
         if not self._exists(sink):
@@ -313,7 +404,15 @@ class IcebergFormat(TableFormat):
     ``iceberg-spark-runtime`` jar + a configured catalog, neither of which
     exists in this sandbox — constructing it here raises, which IS the
     documented boundary: the engine is Iceberg-ready at the interface, the
-    jar is the only missing piece."""
+    jar is the only missing piece.
+
+    Frontier-delta mapping: ``write_delta(part=...)`` is a plain append
+    (rows, not directories — *part* is ignored, as in
+    :class:`LocalCatalogFormat`); ``adopt_parts`` is ONE transaction that
+    ``add_files``-imports every source directory and commits a single
+    fast-append snapshot — the data files written by the routing /
+    cascade stages' own tasks become the next round's frontier without a
+    byte rewritten."""
 
     def __init__(self, spark: SparkSession, catalog: str, namespace: str):
         raise NotImplementedError(

@@ -61,6 +61,62 @@ def test_adopt_delta(spark, tmp_path):
     assert tf.adopt_delta(str(tmp_path / "missing"), "store", 4) is False
 
 
+def test_adopt_parts_multi_source_delta(spark, tmp_path):
+    """One delta composed from several adopted directories (the frontier
+    shape: routing's seg=deferred + each cascade generation's
+    kind=request) — renames only, readers project to the common schema,
+    and a crash-rerun replaces the WHOLE round delta."""
+    tf = ParquetManifestFormat(spark, str(tmp_path))
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    # different supersets of the target schema, like deferred (_blk) vs
+    # cascade request rows (extra cascade columns)
+    spark.createDataFrame(
+        [(1, "x", True)], "id long, v string, _blk boolean"
+    ).write.parquet(a)
+    spark.createDataFrame(
+        [(2, "y", 0.5), (3, "z", 1.5)], "id long, v string, extra double"
+    ).write.parquet(b)
+    n = tf.adopt_parts([a, b, str(tmp_path / "missing")], "frontier", 5,
+                       "id long, v string")
+    assert n == 2
+    assert not os.path.exists(a) and not os.path.exists(b)
+    assert tf.delta_rows("frontier", 5) == 3
+    got = tf.delta_df("frontier", 5, "id long, v string")
+    rows = {(r["id"], r["v"]) for r in got.collect()}
+    assert rows == {(1, "x"), (2, "y"), (3, "z")}
+    # rerun of an interrupted round: the whole previous delta is replaced
+    c = str(tmp_path / "c")
+    spark.createDataFrame([(9, "q", False)],
+                          "id long, v string, _blk boolean").write.parquet(c)
+    assert tf.adopt_parts([c], "frontier", 5, "id long, v string") == 1
+    assert tf.delta_rows("frontier", 5) == 1
+    # zero adoptable parts = empty delta (no dir), delta_rows reports 0
+    assert tf.adopt_parts([str(tmp_path / "m2")], "frontier", 6,
+                          "id long, v string") == 0
+    assert tf.delta_rows("frontier", 6) == 0
+
+
+def test_write_delta_part_matches_adopted_layout(spark, tmp_path):
+    """write_delta(part=...) and adopt_parts produce the SAME one-level
+    layout, so a sink mixing both (frontier round 0 = checkpoint write,
+    rounds 1+ = adoption) stays readable via read_sink's glob."""
+    tf = ParquetManifestFormat(spark, str(tmp_path))
+    tf.write_delta(
+        spark.createDataFrame([(1, "s")], "id long, v string"),
+        "frontier", 0, part="full",
+    )
+    src = str(tmp_path / "staged")
+    spark.createDataFrame(
+        [(2, "t", True)], "id long, v string, _blk boolean"
+    ).write.parquet(src)
+    tf.adopt_parts([src], "frontier", 1, "id long, v string")
+    full = tf.read_sink("frontier", "id long, v string")
+    assert {(r["id"], r["round"]) for r in full.collect()} == {(1, 0), (2, 1)}
+    assert tf.delta_rows("frontier", 0) == 1
+    assert tf.sink_rows("frontier") == 2
+
+
 def test_commit_and_resume_rounds(spark, tmp_path):
     tf = ParquetManifestFormat(spark, str(tmp_path))
     assert tf.committed_rounds() == []
@@ -133,6 +189,30 @@ def test_catalog_adopt_and_rounds_history(spark, catfmt, tmp_path):
     catfmt.commit_round(2, {"fetched": 1})
     catfmt.commit_round(1, {"fetched": 3})
     assert catfmt.committed_rounds() == [0, 1, 2]
+
+
+def test_catalog_adopt_parts_single_commit(spark, catfmt, tmp_path):
+    """Catalog adopt_parts: several staged directories with different
+    schema supersets become ONE round partition in one idempotent
+    commit (the Iceberg one-transaction add_files shape)."""
+    a = str(tmp_path / "pa")
+    b = str(tmp_path / "pb")
+    spark.createDataFrame(
+        [(1, "x", True)], "id long, v string, _blk boolean"
+    ).write.parquet(a)
+    spark.createDataFrame(
+        [(2, "y", 0.5)], "id long, v string, extra double"
+    ).write.parquet(b)
+    assert catfmt.adopt_parts([a, b], "frontier", 4, "id long, v string") == 2
+    assert catfmt.delta_rows("frontier", 4) == 2
+    assert {tuple(r) for r in
+            catfmt.delta_df("frontier", 4).collect()} == {(1, "x"), (2, "y")}
+    # rerun replaces the round partition (dynamic overwrite)
+    c = str(tmp_path / "pc")
+    spark.createDataFrame([(9, "q", False)],
+                          "id long, v string, _blk boolean").write.parquet(c)
+    assert catfmt.adopt_parts([c], "frontier", 4, "id long, v string") == 1
+    assert catfmt.delta_rows("frontier", 4) == 1
 
 
 def test_catalog_format_drives_kill_resume_crawl(spark, tmp_path):
