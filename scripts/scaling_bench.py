@@ -401,10 +401,15 @@ a FAIR scheduler pool and overlap the next round's eval wave; fetched
 bodies are parquet'd inside the Python workers and ADOPTED by directory
 rename (never crossing Arrow or the JVM writer); each round routes every
 request row through ONE seg-partitioned lineage-break write whose parquet
-footers replace all per-branch count() jobs. Together these moved the
-per-crawl fixed cost from ~25-35 s (the round-3 residual) to ~2 s/round,
-which is what pushed the ceiling-normalized N→4N efficiency back over
-the 0.8 bar.
+footers replace all per-branch count() jobs; and the next round's frontier
+delta is ADOPTED from that routing write's seg=deferred partition plus the
+cascade's kind=request partitions (TableFormat.adopt_parts — directory
+renames standing in for one Iceberg add_files fast-append), so the
+frontier checkpoint JOB is gone and no frontier byte is parquet-encoded
+twice (20k-page quick bench: 33.6 → 18.5 s crawl wall, identical
+outputs). Together these moved the per-crawl fixed cost from ~25-35 s
+(the round-3 residual) to ~2 s/round, which is what pushed the
+ceiling-normalized N→4N efficiency back over the 0.8 bar.
 
 ## Streaming sessionization: drain wall vs throughput (flag adjudication)
 
