@@ -648,6 +648,136 @@ def dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+def connected_components(edges: DataFrame, max_iters: int = 30) -> DataFrame:
+    """Distributed connected components by alternating large-star /
+    small-star (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14): converges in O(log² n) rounds, every round is two
+    slim groupBy-min shuffles — no component's edge list ever sits in one
+    task and nothing touches the driver except the per-round convergence
+    flag. This is the scale path for 10^10-node near-dup graphs, where the
+    naive min-label propagation needs O(graph diameter) rounds and a
+    transitive closure is quadratic.
+
+    ``edges`` is an undirected edge list as columns (a, b); returns one row
+    per NON-ROOT node: (a=node, b=component minimum).
+
+    Each round ends in ``localCheckpoint(eager=True)``: iterative plans
+    MUST truncate lineage, not just cache — persist() keeps the full
+    logical plan, so Catalyst re-analyzes a plan that grows ~5× per round
+    and analysis alone goes exponential (measured: 3s → 21s → timeout by
+    round 5 on a 9-edge graph). On a multi-executor cluster swap in
+    ``df.checkpoint()`` (reliable, survives executor loss) via the same
+    one-line seam.
+    """
+    e = (
+        edges.where(F.col("a") != F.col("b"))
+        .select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_prev = e.count()
+    for _ in range(max_iters):
+        # large-star: every node u attaches its LARGER neighbors to
+        # m = min(N(u) ∪ {u}); processing both orientations covers every
+        # edge from its smaller endpoint, so no adjacency is lost
+        und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        mm = (
+            und.groupBy("a")
+            .agg(F.min("b").alias("mb"))
+            .select("a", F.least("a", "mb").alias("m"))
+        )
+        ls = (
+            und.join(mm, "a")
+            .where(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .where(F.col("a") != F.col("b"))
+        )
+        # small-star: edges out of large-star are oriented big→small, so
+        # each node u attaches all its (smaller) neighbors AND itself to
+        # m = min(N(u) ∪ {u}) = min over its smaller neighbors
+        mn = ls.groupBy("a").agg(F.min("b").alias("m"))
+        ss = (
+            ls.join(mn, "a")
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .union(mn.select(F.col("a"), F.col("m").alias("b")))
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # multiset equality in one extra job: rows are distinct on both
+        # sides, so |ss| == |e| plus ss \ e == ∅ implies ss == e
+        n = ss.count()
+        converged = n == n_prev and ss.exceptAll(e).isEmpty()
+        e, n_prev = ss, n
+        if converged:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds"
+        )
+    # fixpoint = disjoint stars rooted at component minima: one (node, root)
+    # edge per non-root node (groupBy-min is belt and braces)
+    return e.groupBy("a").agg(F.min("b").alias("b"))
+
+
+_CLUSTERS_SQL = (
+    "WITH RECURSIVE " + _TOKS_SQL + """,
+pairs AS (
+    SELECT i.doc_a, i.doc_b
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c) >= 0.4
+),
+und AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs
+),
+reach(a, b) AS (
+    SELECT a, b FROM und
+    UNION
+    SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+),
+lab AS (SELECT a AS doc_id, min(b) AS mn FROM reach GROUP BY a)
+SELECT d.doc_id,
+       CAST(coalesce(least(l.mn, d.doc_id), d.doc_id) AS BIGINT) AS cluster_id
+FROM documents d LEFT JOIN lab l ON l.doc_id = d.doc_id
+"""
+)
+
+
+@q("dedup_clusters", _CLUSTERS_SQL)
+def dedup_clusters(spark, sf_dir):
+    """Near-duplicate CLUSTER assignment — the step a production dedup
+    pipeline runs after pair generation: connected components over the
+    verified exact-Jaccard(≥0.4) pair set (generated by the MinHash-LSH
+    path, verified per candidate), cluster id = component-minimum doc_id,
+    singletons keep their own id. One row per document, so a downstream
+    "keep one per cluster" is a plain groupBy.
+
+    Scale: pairs come from the candidate-bounded LSH join (never a shingle
+    self-join); components via alternating large-star/small-star
+    (O(log² n) rounds of slim groupBy-min shuffles, see
+    connected_components) — at 10^10 docs neither the pair set nor any
+    component adjacency ever concentrates in one task or on the driver.
+    The transitive closure exists ONLY in the DuckDB oracle's recursive
+    CTE, never in the physical plan."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    lab = connected_components(pairs)
+    docs = T(spark, sf_dir, "documents").select("doc_id")
+    return docs.join(
+        lab.select(F.col("a").alias("doc_id"), F.col("b").alias("root")),
+        "doc_id", "left",
+    ).select(
+        "doc_id", F.coalesce("root", "doc_id").alias("cluster_id")
+    )
+
+
 _SIMHASH_CTE = """
 WITH toks AS (
     SELECT DISTINCT doc_id, tok FROM (

@@ -55,6 +55,7 @@ FAST = [
     "doc_repetition",
     "corpus_sample_stratified",
     "vocab_topk",
+    "dedup_clusters",
 ]
 
 
@@ -188,3 +189,22 @@ def test_cascade_int64_hash_exact():
     req = out[out["kind"] == "request"]
     assert len(req) == 1
     assert int(req["url_hash"].iloc[0]) == url_hash(url)
+
+
+def test_connected_components_path_graph(spark):
+    """Multi-hop merging: a 7-node path (plus an isolated pair and a
+    singleton-free island) must collapse to its global minimum — the case
+    one round of neighbor-min propagation gets wrong and the alternating
+    large-star/small-star iteration exists to solve."""
+    from boris_spark.ops.queries import connected_components
+
+    edges = [(1, 9), (9, 3), (3, 7), (7, 5), (5, 8), (8, 6),  # path, min=1
+             (20, 21),                                         # pair, min=20
+             (31, 30), (30, 32)]                               # path, min=30
+    df = spark.createDataFrame(edges, "a long, b long")
+    lab = {r["a"]: r["b"] for r in connected_components(df).collect()}
+    assert lab == {
+        9: 1, 3: 1, 7: 1, 5: 1, 8: 1, 6: 1,
+        21: 20,
+        31: 30, 32: 30,
+    }
