@@ -48,6 +48,9 @@ BENCH_QUERIES = [
     "decontaminate_ngram",
     "pii_redact",
     "doc_repetition",
+    "corpus_sample_stratified",
+    "vocab_topk",
+    "dedup_clusters",
 ]
 
 

@@ -83,6 +83,12 @@ EXPECTATIONS = {
     # vocab: global top-k planned as bounded per-partition heaps, never a
     # full sort of the vocabulary
     "vocab_topk": ["TakeOrderedAndProject", "HashAggregate"],
+    # cluster assignment: the large-star/small-star rounds ran eagerly
+    # behind localCheckpoint lineage breaks, so the final plan is the
+    # label join reading the checkpointed fixpoint (Scan ExistingRDD) —
+    # no shingle or pair lineage can reappear here; the pair-generation
+    # shape itself is pinned under dedup_minhash_lsh
+    "dedup_clusters": ["Scan ExistingRDD", "HashAggregate"],
 }
 
 # query → substrings that must NOT appear (the round-1 defect signatures)
