@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "corpus_sample_stratified",
     "vocab_topk",
     "dedup_clusters",
+    "dedup_keep_canonical",
 ]
 
 

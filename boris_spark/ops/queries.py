@@ -722,7 +722,7 @@ def connected_components(edges: DataFrame, max_iters: int = 30) -> DataFrame:
     return e.groupBy("a").agg(F.min("b").alias("b"))
 
 
-_CLUSTERS_SQL = (
+_CLUSTERS_CTE = (
     "WITH RECURSIVE " + _TOKS_SQL + """,
 pairs AS (
     SELECT i.doc_a, i.doc_b
@@ -741,12 +741,17 @@ reach(a, b) AS (
     UNION
     SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
 ),
-lab AS (SELECT a AS doc_id, min(b) AS mn FROM reach GROUP BY a)
-SELECT d.doc_id,
-       CAST(coalesce(least(l.mn, d.doc_id), d.doc_id) AS BIGINT) AS cluster_id
-FROM documents d LEFT JOIN lab l ON l.doc_id = d.doc_id
+lab AS (SELECT a AS doc_id, min(b) AS mn FROM reach GROUP BY a),
+clusters AS (
+    SELECT d.doc_id,
+           CAST(coalesce(least(l.mn, d.doc_id), d.doc_id) AS BIGINT)
+               AS cluster_id
+    FROM documents d LEFT JOIN lab l ON l.doc_id = d.doc_id
+)
 """
 )
+
+_CLUSTERS_SQL = _CLUSTERS_CTE + "SELECT doc_id, cluster_id FROM clusters"
 
 
 @q("dedup_clusters", _CLUSTERS_SQL)
@@ -775,6 +780,53 @@ def dedup_clusters(spark, sf_dir):
         "doc_id", "left",
     ).select(
         "doc_id", F.coalesce("root", "doc_id").alias("cluster_id")
+    )
+
+
+_KEEP_SQL = _CLUSTERS_CTE + """
+SELECT cluster_id, doc_id AS keep_doc_id, n_docs
+FROM (
+    SELECT c.cluster_id, c.doc_id,
+           row_number() OVER (
+               PARTITION BY c.cluster_id
+               ORDER BY length(d.text) DESC, c.doc_id
+           ) AS rn,
+           count(*) OVER (PARTITION BY c.cluster_id) AS n_docs
+    FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
+)
+WHERE rn = 1
+"""
+
+
+@q("dedup_keep_canonical", _KEEP_SQL)
+def dedup_keep_canonical(spark, sf_dir):
+    """Survivor selection — the last step of the dedup pipeline: one row
+    per near-dup cluster with the document to KEEP (longest text, doc_id
+    tiebreak — the standard keep-longest policy) and the cluster size.
+    Chained downstream of dedup_clusters, so the full story
+    pairs → components → survivors is a gate-checked pipeline.
+
+    Scale: ONE shuffle on cluster_id, and it's an aggregation with
+    map-side partial agg — `max_by` over the (len, -doc_id) struct picks
+    the survivor without ever sorting a cluster's members (a window
+    formulation can't do better: the companion cluster-size count blocks
+    the WindowGroupLimit rank-pushdown, forcing a full in-partition
+    sort). Constant state per cluster key, skew-immune."""
+    c = dedup_clusters(spark, sf_dir)
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("len")
+    )
+    # max over (len asc, -doc_id asc) == longest text, smallest doc_id tie
+    return (
+        c.join(docs, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.max_by(
+                "doc_id",
+                F.struct(F.col("len"), (-F.col("doc_id")).alias("nd")),
+            ).alias("keep_doc_id"),
+            F.count("*").alias("n_docs"),
+        )
     )
 
 

@@ -89,6 +89,9 @@ EXPECTATIONS = {
     # no shingle or pair lineage can reappear here; the pair-generation
     # shape itself is pinned under dedup_minhash_lsh
     "dedup_clusters": ["Scan ExistingRDD", "HashAggregate"],
+    # survivor selection: single agg shuffle, max_by with partial agg —
+    # no window, no sort of any cluster's members
+    "dedup_keep_canonical": ["HashAggregate", "max_by"],
 }
 
 # query → substrings that must NOT appear (the round-1 defect signatures)

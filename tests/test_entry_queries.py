@@ -56,6 +56,7 @@ FAST = [
     "corpus_sample_stratified",
     "vocab_topk",
     "dedup_clusters",
+    "dedup_keep_canonical",
 ]
 
 
