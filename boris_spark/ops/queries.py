@@ -54,6 +54,7 @@ def release_persisted() -> None:
     _persist_pool.clear()
     _shingle_cache.clear()
     _doc_sets_cache.clear()
+    _clusters_cache.clear()
 
 
 def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -753,6 +754,12 @@ clusters AS (
 
 _CLUSTERS_SQL = _CLUSTERS_CTE + "SELECT doc_id, cluster_id FROM clusters"
 
+# (doc_id, cluster_id) per sf_dir: the component iterations already ran
+# eagerly behind localCheckpoint, so the cached frame is plan-free and
+# cheap to reuse — dedup_keep_canonical consumes it right after
+# dedup_clusters in every gate/bench session
+_clusters_cache: dict[str, DataFrame] = {}
+
 
 @q("dedup_clusters", _CLUSTERS_SQL)
 def dedup_clusters(spark, sf_dir):
@@ -770,17 +777,23 @@ def dedup_clusters(spark, sf_dir):
     component adjacency ever concentrates in one task or on the driver.
     The transitive closure exists ONLY in the DuckDB oracle's recursive
     CTE, never in the physical plan."""
+    key = os.path.abspath(sf_dir)
+    if key in _clusters_cache:
+        return _clusters_cache[key]
     pairs = dedup_minhash_lsh(spark, sf_dir).select(
         F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
     )
     lab = connected_components(pairs)
     docs = T(spark, sf_dir, "documents").select("doc_id")
-    return docs.join(
+    out = docs.join(
         lab.select(F.col("a").alias("doc_id"), F.col("b").alias("root")),
         "doc_id", "left",
     ).select(
         "doc_id", F.coalesce("root", "doc_id").alias("cluster_id")
     )
+    out = _pooled_persist(out)
+    _clusters_cache[key] = out
+    return out
 
 
 _KEEP_SQL = _CLUSTERS_CTE + """
