@@ -52,6 +52,9 @@ BENCH_QUERIES = [
     "vocab_topk",
     "dedup_clusters",
     "dedup_keep_canonical",
+    "pack_sequences",
+    "domain_mix_weights",
+    "host_graph_edges",
 ]
 
 

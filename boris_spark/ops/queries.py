@@ -1196,6 +1196,187 @@ def vocab_topk(spark, sf_dir):
     return agg.orderBy(F.desc("freq"), "tok").limit(50)
 
 
+_PACK_LEN = 256  # tokens per training sequence
+
+
+@q(
+    "pack_sequences",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS cum_before
+      FROM t
+    )
+    SELECT doc_id, n_tokens,
+           CAST(cum_before // {_PACK_LEN} AS BIGINT) AS pack_first,
+           CAST((cum_before + n_tokens - 1) // {_PACK_LEN} AS BIGINT)
+             AS pack_last
+    FROM c
+    """,
+)
+def pack_sequences(spark, sf_dir):
+    """Sequence packing for LLM training: concatenate documents in
+    deterministic doc_id order into one global token stream and chunk it
+    into fixed-length packs ({_PACK_LEN} tokens); each document reports the
+    pack range it lands in. The key scale problem is the GLOBAL running
+    token offset — a naive window over a single global ORDER BY plans as a
+    one-partition sort (the whole corpus through one task). Implemented
+    instead as a distributed prefix sum: documents bucket by a closed-form
+    monotone key (doc_id div B — no sampling, no range-partitioner
+    nondeterminism), per-bucket token totals aggregate to one tiny row per
+    bucket (the only thing the driver ever holds), the exclusive prefix over
+    those becomes a broadcast offset table, and the intra-bucket running sum
+    is an ordinary per-bucket window. Two shuffles (bucket agg + bucket
+    window), both keyed on the bucket; bucket count grows with the corpus so
+    per-task window state stays bounded while the driver-side offset table
+    stays O(n_buckets).
+    """
+    n = table_rows(sf_dir, "documents")
+    n_buckets = max(32, n // 2_000_000 + 1)
+    B = max(1, -(-n // n_buckets))
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    ).withColumn("bucket", F.expr(f"doc_id div {B}"))
+    totals = {
+        r["bucket"]: r["s"]
+        for r in d.groupBy("bucket").agg(F.sum("n_tokens").alias("s")).collect()
+    }
+    acc, offsets = 0, []
+    for b in sorted(totals):
+        offsets.append((b, acc))
+        acc += totals[b]
+    off = spark.createDataFrame(offsets, "bucket long, offset long")
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = d.join(F.broadcast(off), "bucket").withColumn(
+        "cum_before",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) + F.col("offset"),
+    )
+    return cum.select(
+        "doc_id",
+        "n_tokens",
+        F.expr(f"cum_before div {_PACK_LEN}").alias("pack_first"),
+        F.expr(f"(cum_before + n_tokens - 1) div {_PACK_LEN}").alias("pack_last"),
+    )
+
+
+@q(
+    "domain_mix_weights",
+    """
+    WITH t AS (
+      SELECT lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      FROM documents
+    ),
+    a AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS lang_tokens
+          FROM t GROUP BY lang),
+    tot AS (SELECT SUM(lang_tokens) AS tt, COUNT(*) AS nl FROM a)
+    SELECT lang, lang_tokens,
+           round(least(5.0, (tt / nl) / lang_tokens), 6) AS mix_weight
+    FROM a, tot
+    """,
+)
+def domain_mix_weights(spark, sf_dir):
+    """Data-mixing weights: per-language token mass and the per-document
+    sampling weight that would rebalance the corpus to a uniform language
+    mixture (weight = target_share / actual_share, capped at 5× so a rare
+    stratum can't be oversampled into degeneracy) — the mixture-reweighting
+    step of a webtext training pipeline (DoReMi-style mixing uses learned
+    shares; the plumbing is identical). One partial-agg shuffle on the
+    stratum key reduces the corpus to O(n_strata) rows; the grand total then
+    broadcast-joins back onto them, so nothing corpus-sized ever moves
+    twice."""
+    d = T(spark, sf_dir, "documents").select(
+        "lang", F.size(F.split("text", " ")).cast("long").alias("n")
+    )
+    a = d.groupBy("lang").agg(F.sum("n").alias("lang_tokens"))
+    a = _pooled_persist(a)
+    tot = a.agg(
+        F.sum("lang_tokens").alias("tt"), F.count("*").alias("nl")
+    )
+    return a.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "lang_tokens",
+        F.round(
+            F.least(
+                F.lit(5.0),
+                (F.col("tt") / F.col("nl")) / F.col("lang_tokens"),
+            ),
+            6,
+        ).alias("mix_weight"),
+    )
+
+
+@q(
+    "host_graph_edges",
+    f"""
+    WITH n AS (SELECT count(*) AS cnt FROM documents),
+    e AS (
+      SELECT doc_id AS src, 2*doc_id+1 AS dst FROM documents, n
+      WHERE 2*doc_id+1 < cnt
+      UNION ALL
+      SELECT doc_id, 2*doc_id+2 FROM documents, n
+      WHERE 2*doc_id+2 < cnt
+    )
+    SELECT 'h' || (src % {DOC_HOSTS}) || '.docs.test' AS src_host,
+           'h' || (dst % {DOC_HOSTS}) || '.docs.test' AS dst_host,
+           CAST(count(*) AS BIGINT) AS n_links
+    FROM e GROUP BY 1, 2
+    """,
+)
+def host_graph_edges(spark, sf_dir):
+    """Host-level link graph: parse every page's anchors with the kernel's
+    ``links`` extractor (the reference's BFS-ordered selector,
+    /root/reference/hypertext-browser/html/links.rkt:33-35) and aggregate
+    link counts between host pairs — the domain-graph signal behind
+    host-level spam/quality scoring of a web corpus. The HTML parse runs
+    once per page in an Arrow-batched mapInPandas (spread off the
+    single-file scan first so the Python stage uses every core); host
+    extraction from URLs is JVM-side regexp, and the (src_host, dst_host)
+    rollup is one partial-agg shuffle over rows already reduced to slim
+    string pairs. The oracle reconstructs the same edges from the closed-
+    form binary-tree link structure of ``build_doc_pages``."""
+    pages = build_doc_pages(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        from ..kernel import links
+
+        for pdf in batches:
+            rows = [
+                {"url": u, "href": h}
+                for u, html in zip(pdf["url"], pdf["html"])
+                for h in links(html)
+            ]
+            yield pd.DataFrame(rows, columns=["url", "href"])
+
+    edges = pages.mapInPandas(run, "url string, href string")
+    host = lambda c: F.regexp_extract(c, r"^http://([^/]+)/", 1)  # noqa: E731
+    return (
+        edges.select(
+            host(F.col("url")).alias("src_host"),
+            host(F.col("href")).alias("dst_host"),
+        )
+        .groupBy("src_host", "dst_host")
+        .agg(F.count("*").cast("long").alias("n_links"))
+    )
+
+
 _LANG_MARKERS = [
     ("en", " the "), ("de", " der "), ("fr", " les "), ("es", " las "), ("it", " della "),
 ]

@@ -92,6 +92,15 @@ EXPECTATIONS = {
     # survivor selection: single agg shuffle, max_by with partial agg —
     # no window, no sort of any cluster's members
     "dedup_keep_canonical": ["HashAggregate", "max_by"],
+    # sequence packing: the global running token offset must be a
+    # distributed prefix sum — per-bucket window behind a hash exchange on
+    # the bucket key, offsets broadcast — never a single global window
+    "pack_sequences": ["hashpartitioning(bucket", "BroadcastHashJoin"],
+    # mixing weights: corpus reduced to strata by one partial-agg shuffle,
+    # grand total broadcast back; nothing corpus-sized moves twice
+    "domain_mix_weights": ["BroadcastNestedLoopJoin", "HashAggregate"],
+    # host graph: Arrow-batched parse then one partial-agg rollup shuffle
+    "host_graph_edges": ["MapInPandas", "HashAggregate"],
 }
 
 # query → substrings that must NOT appear (the round-1 defect signatures)
@@ -99,6 +108,9 @@ FORBIDDEN = {
     # a shuffle keyed on the raw shingle column would mean the full
     # all-shingle self-join is back in the physical plan
     "dedup_minhash_lsh": ["hashpartitioning(s#"],
+    # a single-partition exchange here would mean the naive global-window
+    # packing plan (whole corpus through one task) is back
+    "pack_sequences": ["SinglePartition"],
 }
 
 

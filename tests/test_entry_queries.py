@@ -57,6 +57,9 @@ FAST = [
     "vocab_topk",
     "dedup_clusters",
     "dedup_keep_canonical",
+    "pack_sequences",
+    "domain_mix_weights",
+    "host_graph_edges",
 ]
 
 
