@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "pack_sequences",
     "domain_mix_weights",
     "host_graph_edges",
+    "doc_tfidf_topk",
 ]
 
 

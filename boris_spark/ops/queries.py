@@ -1320,6 +1320,70 @@ def domain_mix_weights(spark, sf_dir):
 
 
 @q(
+    "doc_tfidf_topk",
+    """
+    WITH t AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+      FROM t GROUP BY 1, 2
+    ),
+    df AS (SELECT tok, CAST(count(*) AS BIGINT) AS dfreq FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS cnt FROM documents),
+    s AS (
+      SELECT doc_id, tf.tok,
+             round(tf * ((cnt + 1) / (dfreq + 1)), 4) AS score
+      FROM tf JOIN df USING (tok), n
+    ),
+    r AS (
+      SELECT doc_id, tok, score,
+             row_number() OVER (
+               PARTITION BY doc_id ORDER BY score DESC, tok
+             ) AS rnk
+      FROM s
+    )
+    SELECT doc_id, tok, score, CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 3
+    """,
+)
+def doc_tfidf_topk(spark, sf_dir):
+    """Per-document keyword extraction: top-3 tokens by tf-idf — the
+    keyword / topic-feature step of a webtext curation pipeline (quality
+    classifiers and cluster labeling consume exactly this shape). Uses the
+    rational idf variant (N+1)/(df+1) instead of its logarithm: plain IEEE
+    divide/multiply with a pinned association is bit-identical between the
+    JVM and the DuckDB oracle, where transcendental log implementations may
+    differ in the last ulp and flip a rounded 4th decimal. Three bounded
+    shuffles — (doc,tok) partial-agg, tok document-frequency partial-agg,
+    and the per-doc top-k window, which Catalyst plans as WindowGroupLimit
+    (k rows of state per partition, no full sort of any document's
+    vocabulary). The tf→df join is keyed on the token; at corpus scale its
+    skew (stopwords) is bounded because both sides are already aggregates —
+    one row per (doc,tok) and per tok — never raw token occurrences."""
+    n = table_rows(sf_dir, "documents")
+    d = T(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").cast("long").alias("tf"))
+    tf = _pooled_persist(tf)
+    df = tf.groupBy("tok").agg(F.count("*").cast("long").alias("dfreq"))
+    scored = tf.join(df, "tok").select(
+        "doc_id",
+        "tok",
+        F.round(
+            F.col("tf") * ((F.lit(n) + F.lit(1)) / (F.col("dfreq") + F.lit(1))),
+            4,
+        ).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "tok")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("doc_id", "tok", "score", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+@q(
     "host_graph_edges",
     f"""
     WITH n AS (SELECT count(*) AS cnt FROM documents),

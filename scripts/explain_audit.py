@@ -101,6 +101,9 @@ EXPECTATIONS = {
     "domain_mix_weights": ["BroadcastNestedLoopJoin", "HashAggregate"],
     # host graph: Arrow-batched parse then one partial-agg rollup shuffle
     "host_graph_edges": ["MapInPandas", "HashAggregate"],
+    # tf-idf keywords: per-doc top-k must plan as rank-limit pushdown —
+    # k rows of window state, never a full sort of a document's vocabulary
+    "doc_tfidf_topk": ["WindowGroupLimit", "HashAggregate"],
 }
 
 # query → substrings that must NOT appear (the round-1 defect signatures)

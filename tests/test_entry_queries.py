@@ -60,6 +60,7 @@ FAST = [
     "pack_sequences",
     "domain_mix_weights",
     "host_graph_edges",
+    "doc_tfidf_topk",
 ]
 
 
