@@ -213,6 +213,37 @@ class CrawlEngine:
         literal Lit seeds use 8-hex fan-out indices, which sort BEFORE the
         's:' block, so program-text seeds are crawled first — documented,
         deterministic across parallelism levels)."""
+        # Adaptive execution OFF for the crawl loop (restored on exit, the
+        # session default stays on for ad-hoc queries): every join in a
+        # round has a statically pinned strategy (broadcast memo-key/budget
+        # dims, shuffle-hash on unique 64-bit url hashes) and host skew is
+        # handled explicitly by the two-phase salted window, so AQE cannot
+        # improve a round's plan — but each AQE query stage is a separate
+        # job with a driver sync point and a round has ~10 slim stages.
+        # Measured at the politeness-bound tier (18 small rounds, 60k
+        # pages, local[32]): 113.9 s with AQE on vs 81.6 s off, identical
+        # outputs — and the sync latency GROWS with core count (task waves
+        # finish faster, the per-stage driver barrier doesn't), which was
+        # most of the control tier's anti-scaling. BORIS_CRAWL_AQE=1
+        # re-enables it (A/B lever, or clusters wanting runtime skew
+        # splitting on top of the static salting).
+        _aqe_prev = self.spark.conf.get("spark.sql.adaptive.enabled", "true")
+        _keep_aqe = os.environ.get("BORIS_CRAWL_AQE", "0") == "1"
+        if not _keep_aqe:
+            self.spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            return self._run_inner(root, max_rounds, resume, seed_frontier)
+        finally:
+            if not _keep_aqe:
+                self.spark.conf.set("spark.sql.adaptive.enabled", _aqe_prev)
+
+    def _run_inner(
+        self,
+        root: P.Node,
+        max_rounds: int,
+        resume: bool,
+        seed_frontier: DataFrame | None,
+    ) -> CrawlSummary:
         t0 = time.time()
         self._tmp_sink_paths: list[str] = []
         # Commit pool: durable-sink appends that nothing later in the round
