@@ -2056,3 +2056,294 @@ def media_frame_sample(spark, sf_dir):
     return m.mapInPandas(frame_sample_fn(every=4), FRAME_SCHEMA).select(
         "media_id", "frame_no", F.round("frame_mean", 6).alias("frame_mean")
     )
+
+
+# =====================================================================
+# Web-index + corpus-freshness ops: inverted index build, cross-document
+# substring-span dedup, CDX capture index, recrawl scheduling.
+# =====================================================================
+
+
+@q(
+    "inverted_index",
+    """
+    WITH e AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    t AS (SELECT DISTINCT doc_id, tok FROM e),
+    df AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS doc_freq
+      FROM t GROUP BY tok
+      HAVING count(*) >= 2
+         AND count(*) <= (SELECT 0.85 * count(*) FROM documents)
+    )
+    SELECT t.tok, df.doc_freq,
+           string_agg(CAST(t.doc_id AS VARCHAR), ',' ORDER BY t.doc_id)
+             AS postings
+    FROM t JOIN df ON t.tok = df.tok
+    GROUP BY t.tok, df.doc_freq
+    """,
+)
+def inverted_index(spark, sf_dir):
+    """Inverted-index build: token -> sorted posting list (+ document
+    frequency), the core artifact of a web search index over a crawled
+    corpus. Stop-listing is by document-frequency band (df >= 2 and
+    df <= 85% of the corpus) and — this is the scale-critical ordering —
+    is applied BEFORE any posting list materializes: the df aggregation is
+    a slim partial-agg shuffle on the token key, and only surviving tokens
+    join back onto the (tok, doc_id) pairs, so a stopword's 10^9-entry
+    posting list is never collected anywhere. The distinct, the df agg,
+    and the posting collect all hash-partition on the same token key, so
+    Catalyst reuses one exchange across the join + final agg. Posting
+    lists are emitted as comma-joined sorted strings (the segment-file
+    row shape); at 10^10 docs the df band bounds every list's length by
+    construction."""
+    n = table_rows(sf_dir, "documents")
+    d = T(spark, sf_dir, "documents")
+    pairs = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).distinct()
+    dfreq = (
+        pairs.groupBy("tok")
+        .agg(F.count("*").cast("long").alias("doc_freq"))
+        .where((F.col("doc_freq") >= 2) & (F.col("doc_freq") <= 0.85 * n))
+    )
+    return (
+        pairs.join(dfreq, "tok")
+        .groupBy("tok", "doc_freq")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings")
+        )
+    )
+
+
+_SPAN_W = 8  # tokens per rolling window (Lee et al. use 50 BPE tokens)
+
+
+@q(
+    "dedup_substring_spans",
+    f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    w AS (
+      SELECT doc_id,
+             unnest([array_to_string(toks[i:i+{_SPAN_W - 1}], ' ')
+                     for i in range(1, len(toks) - {_SPAN_W - 2})]) AS win
+      FROM t WHERE len(toks) >= {_SPAN_W}
+    ),
+    dh AS (SELECT win FROM w GROUP BY win HAVING count(DISTINCT doc_id) >= 2),
+    fl AS (
+      SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_dup
+      FROM w JOIN dh USING (win) GROUP BY w.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(greatest(len(toks) - {_SPAN_W - 1}, 0) AS BIGINT) AS n_windows,
+           CAST(COALESCE(fl.n_dup, 0) AS BIGINT) AS n_dup_windows,
+           round(COALESCE(fl.n_dup, 0) * 1.0
+                 / NULLIF(greatest(len(toks) - {_SPAN_W - 1}, 0), 0), 6)
+             AS dup_share
+    FROM t LEFT JOIN fl ON t.doc_id = fl.doc_id
+    """,
+)
+def dedup_substring_spans(spark, sf_dir):
+    """Cross-document substring-span dedup (the rolling-window
+    approximation of Lee et al. 2022's suffix-array ExactSubstr dedup,
+    arXiv:2107.06499): every {W}-token window is keyed, windows whose key
+    occurs in >= 2 distinct documents are duplicated spans, and each doc
+    reports its duplicated-window share — the signal used to cut
+    boilerplate/licence-block contamination that document-level dedup
+    misses. Spark plan: the window fan-out is a codegen'd
+    transform+sequence+explode (no Python), window keys shuffle ONCE as
+    64-bit xxhash64 values (never the window strings — at 100 TB the
+    strings are ~8x the corpus; the oracle groups the raw strings, and a
+    collision across 2^64 at 10^12 windows is ~1e-5 per corpus), the
+    dup-key set reduces via partial agg on the hash, and the per-doc
+    rollup is a second slim shuffle on doc_id. Short docs (< {W} tokens)
+    report zero windows via the left join."""
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    base = d.select(
+        "doc_id",
+        F.greatest(F.size("toks") - (_SPAN_W - 1), F.lit(0))
+        .cast("long")
+        .alias("n_windows"),
+    )
+    wins = d.where(F.size("toks") >= _SPAN_W).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(toks) - {_SPAN_W} + 1),"
+                f" i -> xxhash64(array_join(slice(toks, i, {_SPAN_W}), ' ')))"
+            )
+        ).alias("wh"),
+    )
+    wins = _pooled_persist(wins)
+    dup = (
+        wins.groupBy("wh")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("wh")
+    )
+    flagged = (
+        wins.join(dup, "wh")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_dup"))
+    )
+    return (
+        base.join(flagged, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_windows",
+            F.coalesce("n_dup", F.lit(0)).cast("long").alias("n_dup_windows"),
+            F.round(
+                F.coalesce("n_dup", F.lit(0))
+                / F.nullif(F.col("n_windows"), F.lit(0)),
+                6,
+            ).alias("dup_share"),
+        )
+    )
+
+
+dedup_substring_spans.__doc__ = dedup_substring_spans.__doc__.replace(
+    "{W}", str(_SPAN_W)
+)
+
+
+_CDX_SQL = f"""
+WITH n AS (SELECT count(*) AS cnt FROM documents),
+h AS (
+  SELECT doc_id,
+         '<html><head><title>doc ' || doc_id || '</title></head><body><p>'
+         || text || '</p>'
+         || CASE WHEN 2*doc_id+1 < cnt THEN
+              '<td class=''title''><a href=''http://h'
+              || ((2*doc_id+1) % {DOC_HOSTS}) || '.docs.test/d/'
+              || (2*doc_id+1) || '''>doc ' || (2*doc_id+1) || '</a></td>'
+            ELSE '' END
+         || CASE WHEN 2*doc_id+2 < cnt THEN
+              '<td class=''title''><a href=''http://h'
+              || ((2*doc_id+2) % {DOC_HOSTS}) || '.docs.test/d/'
+              || (2*doc_id+2) || '''>doc ' || (2*doc_id+2) || '</a></td>'
+            ELSE '' END
+         || '</body></html>' AS html
+  FROM documents, n
+)
+SELECT 'test,docs,h' || (doc_id % {DOC_HOSTS}) || ')/d/' || doc_id AS surt,
+       CAST(1700000000 + doc_id AS BIGINT) AS fetch_ts,
+       sha256(html) AS digest,
+       CAST(length(html) AS BIGINT) AS n_bytes
+FROM h
+"""
+
+
+@q("cdx_index", _CDX_SQL)
+def cdx_index(spark, sf_dir):
+    """CDX capture-index build (the Common-Crawl / Wayback cdxj artifact):
+    one row per capture keyed by SURT (host components reversed and
+    comma-joined, so one host's captures — and one registrable domain's
+    hosts — are lexicographically contiguous), with fetch timestamp,
+    content digest, and record length. Everything is whole-stage-codegen'd
+    JVM work: SURT from two regexps + reverse(split(host)), digest =
+    sha2-256 over the page bytes, no UDF and no Python. The ORDER BY surt
+    is the one range-exchange in the plan — exactly the global sort a real
+    CDX build pays to write sorted index shards (each output partition is
+    one cdx-NNNNN segment, binary-searchable); everything before it is a
+    scan-side projection, so the sort's input is the slim index rows,
+    never the page bodies. fetch_ts is the capture table's warc_ts column
+    (closed-form epoch offset in the synthetic corpus)."""
+    pages = build_doc_pages(spark, sf_dir)
+    doc_id = F.regexp_extract("url", r"/d/(\d+)$", 1).cast("long")
+    host = F.regexp_extract("url", r"^http://([^/]+)/", 1)
+    path = F.regexp_extract("url", r"^http://[^/]+(/.*)$", 1)
+    return (
+        pages.select(
+            F.concat(
+                F.array_join(F.reverse(F.split(host, r"\.")), ","),
+                F.lit(")"),
+                path,
+            ).alias("surt"),
+            (F.lit(1700000000) + doc_id).cast("long").alias("fetch_ts"),
+            F.sha2("html", 256).alias("digest"),
+            F.length("html").cast("long").alias("n_bytes"),
+        )
+        .orderBy("surt")
+    )
+
+
+_RECRAWL_K = 25  # per-host fetch budget per scheduling round
+_RECRAWL_EPOCH = 1700000000
+_RECRAWL_NOW = _RECRAWL_EPOCH + 604800  # one week after the epoch
+
+
+@q(
+    "recrawl_schedule",
+    f"""
+    WITH p AS (
+      SELECT 'http://h' || (doc_id % {DOC_HOSTS}) || '.docs.test/d/' || doc_id
+               AS url,
+             'h' || (doc_id % {DOC_HOSTS}) || '.docs.test' AS host,
+             {_RECRAWL_EPOCH} + (doc_id * 9973) % 604800 AS fetch_ts,
+             (doc_id % 5) + 1 AS change_rate
+      FROM documents
+    ),
+    s AS (
+      SELECT url, host,
+             CAST(({_RECRAWL_NOW} - fetch_ts) * change_rate AS BIGINT)
+               AS priority,
+             row_number() OVER (
+               PARTITION BY host
+               ORDER BY ({_RECRAWL_NOW} - fetch_ts) * change_rate DESC, url
+             ) AS rnk
+      FROM p
+    )
+    SELECT url, host, priority, CAST(rnk AS BIGINT) AS rnk
+    FROM s WHERE rnk <= {_RECRAWL_K}
+    """,
+)
+def recrawl_schedule(spark, sf_dir):
+    """Recrawl scheduling (frontier refresh): re-prioritize already-seen
+    URLs by staleness x observed change rate (the Cho & Garcia-Molina
+    freshness policy) and take each host's top-k under the politeness
+    budget — the step that turns a one-shot crawler into a continuously
+    fresh index. The capture table's warc_ts and a per-URL change-rate
+    estimate (closed-form in the synthetic corpus; a real pipeline reads
+    it from digest-change history across captures, cdx_index being the
+    input) combine into a priority, and the per-host top-k plans as
+    WindowGroupLimit: per-partition k-row heaps on the host key, one
+    shuffle, no full per-host sort — the same rank-limit shape as the
+    frontier dequeue (frontier_topk_per_host), which is what lets a
+    10^10-URL recrawl queue emit a round's schedule without ordering the
+    whole table. Hot hosts skew-split the same way (frontier_topk_salted's
+    two-level rank)."""
+    d = T(spark, sf_dir, "documents")
+    doc_id = F.col("doc_id")
+    p = d.select(
+        F.concat(
+            F.lit("http://h"),
+            F.pmod(doc_id, F.lit(DOC_HOSTS)).cast("string"),
+            F.lit(".docs.test/d/"),
+            doc_id.cast("string"),
+        ).alias("url"),
+        F.concat(
+            F.lit("h"),
+            F.pmod(doc_id, F.lit(DOC_HOSTS)).cast("string"),
+            F.lit(".docs.test"),
+        ).alias("host"),
+        (F.lit(_RECRAWL_EPOCH) + F.pmod(doc_id * 9973, F.lit(604800)))
+        .alias("fetch_ts"),
+        (F.pmod(doc_id, F.lit(5)) + 1).alias("change_rate"),
+    )
+    prio = ((F.lit(_RECRAWL_NOW) - F.col("fetch_ts")) * F.col("change_rate"))
+    w = Window.partitionBy("host").orderBy(prio.desc(), "url")
+    return (
+        p.withColumn("priority", prio.cast("long"))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= _RECRAWL_K)
+        .select("url", "host", "priority", F.col("rnk").cast("long").alias("rnk"))
+    )

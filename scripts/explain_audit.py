@@ -104,6 +104,20 @@ EXPECTATIONS = {
     # tf-idf keywords: per-doc top-k must plan as rank-limit pushdown —
     # k rows of window state, never a full sort of a document's vocabulary
     "doc_tfidf_topk": ["WindowGroupLimit", "HashAggregate"],
+    # inverted index: df stop-listing and the posting collect share one
+    # token-keyed exchange (the join + final agg reuse the same
+    # partitioning); postings aggregate with partial agg
+    "inverted_index": ["hashpartitioning(tok", "HashAggregate"],
+    # span dedup: the window fan-out is codegen'd (no Python stage), and
+    # only 64-bit hashes shuffle — a raw window-string partitioning would
+    # move ~8x the corpus through the exchange
+    "dedup_substring_spans": ["HashAggregate", "xxhash64"],
+    # CDX build: digest/SURT are scan-side projections; the only wide op
+    # is the final range exchange for the sorted index shards
+    "cdx_index": ["rangepartitioning(surt", "Sort"],
+    # recrawl schedule: per-host top-k plans as rank-limit pushdown, same
+    # as the frontier dequeue
+    "recrawl_schedule": ["WindowGroupLimit"],
 }
 
 # query → substrings that must NOT appear (the round-1 defect signatures)
@@ -114,6 +128,9 @@ FORBIDDEN = {
     # a single-partition exchange here would mean the naive global-window
     # packing plan (whole corpus through one task) is back
     "pack_sequences": ["SinglePartition"],
+    # a Python stage in the span fan-out would put the window expansion
+    # on the Arrow path instead of whole-stage codegen
+    "dedup_substring_spans": ["MapInPandas"],
 }
 
 

@@ -61,6 +61,10 @@ FAST = [
     "domain_mix_weights",
     "host_graph_edges",
     "doc_tfidf_topk",
+    "inverted_index",
+    "dedup_substring_spans",
+    "cdx_index",
+    "recrawl_schedule",
 ]
 
 
