@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "dedup_substring_spans",
     "cdx_index",
     "recrawl_schedule",
+    "corpus_curate",
 ]
 
 

@@ -2347,3 +2347,102 @@ def recrawl_schedule(spark, sf_dir):
         .where(F.col("rnk") <= _RECRAWL_K)
         .select("url", "host", "priority", F.col("rnk").cast("long").alias("rnk"))
     )
+
+
+_CURATE_MIN_Q = 0.5
+
+
+@q(
+    "corpus_curate",
+    f"""
+    WITH surv AS (
+      SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ),
+    t AS (
+      SELECT d.doc_id,
+             CAST(len(regexp_split_to_array(d.text, '\\s+')) AS BIGINT)
+               AS n_tokens,
+             round(0.5 * least(1.0,
+                     len(regexp_split_to_array(d.text, '\\s+')) / 100.0)
+                   + 0.5 * least(1.0, length(d.text) / 500.0), 6) AS quality
+      FROM documents d JOIN surv USING (doc_id)
+    ),
+    f AS (SELECT * FROM t WHERE quality >= {_CURATE_MIN_Q}),
+    c AS (
+      SELECT doc_id, n_tokens, quality,
+             COALESCE(SUM(n_tokens) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS cum
+      FROM f
+    )
+    SELECT doc_id, n_tokens, quality,
+           CAST(cum // {_PACK_LEN} AS BIGINT) AS pack_first,
+           CAST((cum + n_tokens - 1) // {_PACK_LEN} AS BIGINT) AS pack_last
+    FROM c
+    """,
+)
+def corpus_curate(spark, sf_dir):
+    """The end-to-end curation pipeline as ONE Catalyst DAG: exact dedup
+    (keep the min-doc_id survivor per content hash) -> quality-band filter
+    (the quality_score signal, threshold {Q}) -> fixed-length training-
+    sequence packing over the survivors. This is the composition a real
+    webtext pipeline runs nightly, and composing it declaratively is the
+    point: the dedup agg, the survivor join, the filter, and the packing
+    prefix-sum all land in one plan, so Catalyst prunes the text column
+    after the hash/token projections, pipelines the filter into the join,
+    and the packing runs over the already-reduced survivor set — no
+    intermediate table is materialized between stages. Shuffle ledger:
+    one content-hash agg (partial), one doc_id join shuffle, one bucket
+    agg + one bucket window for the distributed prefix sum (driver holds
+    only the O(n_buckets) offset table). Every stage's solo form is its
+    own gate (dedup_exact / quality_score / pack_sequences); this gate
+    pins the composition."""
+    n = table_rows(sf_dir, "documents")
+    d = T(spark, sf_dir, "documents")
+    surv = d.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    ).select("doc_id")
+    n_tokens = F.size(F.split("text", r"\s+")).cast("long")
+    t = d.join(surv, "doc_id").select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(
+            0.5 * F.least(F.lit(1.0), n_tokens / 100.0)
+            + 0.5 * F.least(F.lit(1.0), F.length("text").cast("long") / 500.0),
+            6,
+        ).alias("quality"),
+    ).where(F.col("quality") >= _CURATE_MIN_Q)
+    # distributed prefix sum over the survivor stream (same shape as
+    # pack_sequences: closed-form monotone bucket key, broadcast offsets)
+    n_buckets = max(32, n // 2_000_000 + 1)
+    B = max(1, -(-n // n_buckets))
+    t = _pooled_persist(t.withColumn("bucket", F.expr(f"doc_id div {B}")))
+    totals = {
+        r["bucket"]: r["s"]
+        for r in t.groupBy("bucket").agg(F.sum("n_tokens").alias("s")).collect()
+    }
+    acc, offsets = 0, []
+    for b in sorted(totals):
+        offsets.append((b, acc))
+        acc += totals[b]
+    off = spark.createDataFrame(offsets or [(0, 0)], "bucket long, offset long")
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = t.join(F.broadcast(off), "bucket").withColumn(
+        "cum",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) + F.col("offset"),
+    )
+    return cum.select(
+        "doc_id",
+        "n_tokens",
+        "quality",
+        F.expr(f"cum div {_PACK_LEN}").alias("pack_first"),
+        F.expr(f"(cum + n_tokens - 1) div {_PACK_LEN}").alias("pack_last"),
+    )
+
+
+corpus_curate.__doc__ = corpus_curate.__doc__.replace("{Q}", str(_CURATE_MIN_Q))

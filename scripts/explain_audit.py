@@ -118,6 +118,10 @@ EXPECTATIONS = {
     # recrawl schedule: per-host top-k plans as rank-limit pushdown, same
     # as the frontier dequeue
     "recrawl_schedule": ["WindowGroupLimit"],
+    # composed curation pipeline: dedup agg + survivor join + filter +
+    # prefix-sum packing fuse into one plan; the packing window must sit
+    # behind the bucket hash exchange, never a single global sort
+    "corpus_curate": ["hashpartitioning(bucket", "BroadcastHashJoin", "HashAggregate"],
 }
 
 # query → substrings that must NOT appear (the round-1 defect signatures)
@@ -131,6 +135,8 @@ FORBIDDEN = {
     # a Python stage in the span fan-out would put the window expansion
     # on the Arrow path instead of whole-stage codegen
     "dedup_substring_spans": ["MapInPandas"],
+    # single-partition exchange = the naive global-window packing plan
+    "corpus_curate": ["SinglePartition"],
 }
 
 

@@ -65,6 +65,7 @@ FAST = [
     "dedup_substring_spans",
     "cdx_index",
     "recrawl_schedule",
+    "corpus_curate",
 ]
 
 
