@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "cdx_index",
     "recrawl_schedule",
     "corpus_curate",
+    "crawl_trap_hosts",
 ]
 
 

@@ -2446,3 +2446,85 @@ def corpus_curate(spark, sf_dir):
 
 
 corpus_curate.__doc__ = corpus_curate.__doc__.replace("{Q}", str(_CURATE_MIN_Q))
+
+
+@q(
+    "crawl_trap_hosts",
+    """
+    WITH u AS (
+      SELECT 'h' || (o_orderkey % 20) || '.shop.test' AS host,
+             repeat('/s' || (o_orderkey % 5),
+                    CASE WHEN o_orderkey % 20 < 3
+                         THEN (o_orderkey % 9) + 2
+                         ELSE (o_orderkey % 3) + 1 END) AS path
+      FROM orders
+    ),
+    s AS (
+      SELECT host,
+             len(list_filter(string_split(path, '/'), x -> x <> ''))
+               AS n_seg,
+             len(list_distinct(
+                   list_filter(string_split(path, '/'), x -> x <> '')))
+               AS n_distinct
+      FROM u
+    ),
+    t AS (
+      SELECT host,
+             CASE WHEN n_seg >= 4 AND n_distinct * 2 <= n_seg
+                  THEN 1 ELSE 0 END AS is_trap_url
+      FROM s
+    )
+    SELECT host,
+           CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(sum(is_trap_url) AS BIGINT) AS n_trap_urls,
+           round(sum(is_trap_url) * 1.0 / count(*), 6) AS trap_share,
+           sum(is_trap_url) * 1.0 / count(*) > 0.3 AS is_trap
+    FROM t GROUP BY host
+    """,
+)
+def crawl_trap_hosts(spark, sf_dir):
+    """Crawler-trap detection (the Heritrix 'pathological path' rule):
+    a URL whose path repeats the same segment — calendar pages, session
+    loops, self-linking CGI — is a trap candidate (>= 4 segments with
+    at most half distinct), and a host where > 30% of discovered URLs
+    are trap-shaped gets its frontier budget cut. This is the signal the
+    frontier merge consults BEFORE admitting a host's links, which is
+    what stops a 10^10-URL frontier from filling up with one calendar
+    widget's infinite expansion. Plan: the segment analysis is
+    whole-stage-codegen'd array work (split + array_distinct + size) in
+    the scan projection — no UDF, nothing wide — and the host rollup is
+    one partial-agg shuffle on the host key; skewed mega-hosts partial-
+    aggregate map-side so the hot key arrives pre-reduced. The URL
+    inventory is synthesized closed-form from `orders` (hosts 0-2 emit
+    deep repeated-segment paths; the rest shallow ones) so the oracle
+    reconstructs it exactly."""
+    o = T(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    host = F.concat(
+        F.lit("h"), F.pmod(k, F.lit(20)).cast("string"), F.lit(".shop.test")
+    )
+    path = F.expr(
+        "repeat('/s' || cast(o_orderkey % 5 as string), "
+        "CASE WHEN o_orderkey % 20 < 3 THEN cast(o_orderkey % 9 as int) + 2 "
+        "ELSE cast(o_orderkey % 3 as int) + 1 END)"
+    )
+    u = o.select(host.alias("host"), path.alias("path"))
+    segs = F.filter(F.split("path", "/"), lambda x: x != F.lit(""))
+    s = u.select(
+        "host",
+        F.size(segs).alias("n_seg"),
+        F.size(F.array_distinct(segs)).alias("n_distinct"),
+    )
+    t = s.select(
+        "host",
+        F.when(
+            (F.col("n_seg") >= 4) & (F.col("n_distinct") * 2 <= F.col("n_seg")),
+            1,
+        ).otherwise(0).alias("is_trap_url"),
+    )
+    return t.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_urls"),
+        F.sum("is_trap_url").cast("long").alias("n_trap_urls"),
+        F.round(F.sum("is_trap_url") / F.count("*"), 6).alias("trap_share"),
+        (F.sum("is_trap_url") / F.count("*") > 0.3).alias("is_trap"),
+    )

@@ -122,6 +122,9 @@ EXPECTATIONS = {
     # prefix-sum packing fuse into one plan; the packing window must sit
     # behind the bucket hash exchange, never a single global sort
     "corpus_curate": ["hashpartitioning(bucket", "BroadcastHashJoin", "HashAggregate"],
+    # trap detection: segment analysis is a codegen'd scan projection
+    # (no UDF); the host rollup is one partial-agg shuffle
+    "crawl_trap_hosts": ["HashAggregate", "ReadSchema: struct<o_orderkey:bigint>"],
 }
 
 # query → substrings that must NOT appear (the round-1 defect signatures)

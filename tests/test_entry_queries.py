@@ -66,6 +66,7 @@ FAST = [
     "cdx_index",
     "recrawl_schedule",
     "corpus_curate",
+    "crawl_trap_hosts",
 ]
 
 
