@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "recrawl_schedule",
     "corpus_curate",
     "crawl_trap_hosts",
+    "wet_export",
 ]
 
 

@@ -149,6 +149,21 @@ def build_response_record(
     return head + http + b"\r\n\r\n"
 
 
+def build_conversion_record(uri: str, date: dt.datetime, text: bytes) -> bytes:
+    """Serialize one WARC ``conversion`` record (the WET layout: plain-text
+    conversion of a crawled page, Common Crawl's *.warc.wet.gz artifact).
+    The block is the UTF-8 text itself — no HTTP envelope."""
+    head = (
+        "WARC/1.0\r\n"
+        "WARC-Type: conversion\r\n"
+        f"WARC-Target-URI: {uri}\r\n"
+        f"WARC-Date: {date.strftime('%Y-%m-%dT%H:%M:%SZ')}\r\n"
+        "Content-Type: text/plain\r\n"
+        f"Content-Length: {len(text)}\r\n\r\n"
+    ).encode()
+    return head + text + b"\r\n\r\n"
+
+
 def build_warc(records: list[tuple[str, dt.datetime, bytes]], compress: bool = False) -> bytes:
     """records: [(uri, date, body)] → one WARC file (optionally one gzip
     member per record, the Common-Crawl layout)."""

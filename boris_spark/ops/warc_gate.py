@@ -88,3 +88,64 @@ def warc_ingest(spark, sf_dir):
         F.length("html").cast("long").alias("n_bytes"),
         "text", "lang",
     )
+
+
+_wet_dir_cache: dict[str, str] = {}
+
+
+def _build_wet_dir(spark, sf_dir: str) -> str:
+    """Export the documents-derived pages table as WET conversion archives
+    once per sf_dir — the WRITE half runs distributed (one streamed file
+    per partition, task-retry-safe rename); the gate then measures the
+    distributed READ, so the gate covers the full roundtrip."""
+    key = os.path.abspath(sf_dir)
+    if key in _wet_dir_cache:
+        return _wet_dir_cache[key]
+    from ..sources import write_wet
+    from .queries import T
+
+    d = T(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    pages = d.select(
+        F.concat(
+            F.lit("http://h"), F.pmod(did, F.lit(DOC_HOSTS)).cast("string"),
+            F.lit(".docs.test/d/"), did.cast("string"),
+        ).alias("url"),
+        F.expr(
+            "timestamp'2024-01-01 00:00:00'"
+            " + make_interval(0, 0, 0, 0, 0, 0, cast(doc_id as int))"
+        ).alias("warc_ts"),
+        "text",
+    ).repartition(8)
+    out = tempfile.mkdtemp(prefix="boris_wet_")
+    write_wet(pages, out, compress=True)
+    _wet_dir_cache[key] = out
+    return out
+
+
+_WET_SQL = f"""
+SELECT 'http://h' || (doc_id % {DOC_HOSTS}) || '.docs.test/d/' || doc_id AS url,
+       TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (doc_id) SECOND AS warc_ts,
+       text,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+"""
+
+
+@q("wet_export", _WET_SQL)
+def wet_export(spark, sf_dir):
+    """WET roundtrip gate: the pages table exported as Common-Crawl
+    *.warc.wet.gz conversion archives (per-record gzip members) and parsed
+    back through the distributed binaryFile source — url, timestamp, and
+    text must survive byte-identically. Together with warc_ingest (WARC
+    response records) and cdx_index (the capture index) this pins the full
+    CC artifact family. One task per archive on the read; the write
+    streams one file per partition with the same retry guards as
+    write_warc."""
+    from ..sources import read_wet
+
+    pages = read_wet(spark, _build_wet_dir(spark, sf_dir))
+    return pages.select(
+        "url", "warc_ts", "text",
+        F.length("text").cast("long").alias("n_chars"),
+    )

@@ -1,1 +1,1 @@
-from .warc import read_warc, write_warc  # noqa: F401
+from .warc import read_warc, read_wet, write_warc, write_wet  # noqa: F401

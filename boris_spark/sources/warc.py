@@ -144,3 +144,97 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
             )
 
     return files.mapInPandas(parse, PAGES_SCHEMA)
+
+
+WET_SCHEMA = "url string, warc_ts timestamp, text string"
+
+
+def write_wet(pages: DataFrame, out_dir: str, compress: bool = True) -> int:
+    """WET sink: write a pages table's (url, warc_ts, text) as Common-Crawl
+    style *.warc.wet(.gz) conversion archives — ONE file per partition,
+    streamed record by record inside the executor, one gzip member per
+    record (the CC random-access layout). The inverse of :func:`read_wet`
+    on (url, warc_ts, text); same task-retry guards as :func:`write_warc`
+    (hidden temp + delete-on-failure + rename, reader glob filter).
+
+    This completes the Common-Crawl artifact family the engine can emit
+    from a crawl's store sink: WARC (response records, write_warc), WET
+    (text conversions, here), CDX (the capture index, ops cdx_index)."""
+    import gzip as _gzip
+    import os
+    import uuid as _uuid
+
+    from ..kernel.warc import build_conversion_record
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def dump(idx, rows):
+        final = os.path.join(
+            out_dir, f"part-{idx:05d}.warc.wet" + (".gz" if compress else "")
+        )
+        tmp = os.path.join(
+            out_dir, f".{os.path.basename(final)}.tmp-{_uuid.uuid4().hex}"
+        )
+        n = 0
+        done = False
+        try:
+            with open(tmp, "wb") as f:
+                for row in rows:
+                    rec = build_conversion_record(
+                        row["url"], row["warc_ts"],
+                        (row["text"] or "").encode("utf-8"),
+                    )
+                    f.write(_gzip.compress(rec, mtime=0) if compress else rec)
+                    n += 1
+            if n:
+                os.rename(tmp, final)
+            else:
+                os.remove(tmp)
+            done = True
+        finally:
+            if not done:
+                try:
+                    os.remove(tmp)
+                except OSError:
+                    pass
+        return iter([1] if n else [])
+
+    files = (
+        pages.select("url", "warc_ts", "text")
+        .rdd.mapPartitionsWithIndex(dump)
+        .sum()
+    )
+    return int(files)
+
+
+def read_wet(spark: SparkSession, path: str) -> DataFrame:
+    """Read a directory (or glob) of .warc.wet / .warc.wet.gz conversion
+    archives into (url, warc_ts, text). One parse task per file — the same
+    file-level parallelism as :func:`read_warc`; non-conversion records in
+    a mixed archive are skipped."""
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.{wet,wet.gz}")
+        .load(path)
+        .select("path", "content")
+    )
+
+    def parse(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for blob in pdf["content"]:
+                for rec in warc_records(bytes(blob)):
+                    if rec.rec_type != "conversion":
+                        continue
+                    if rec.uri is None or rec.date is None:
+                        continue
+                    rows.append({
+                        "url": rec.uri,
+                        "warc_ts": rec.date.replace(tzinfo=None),
+                        "text": rec.body.decode("utf-8", "replace"),
+                    })
+            yield pd.DataFrame(rows, columns=["url", "warc_ts", "text"])
+
+    return files.mapInPandas(parse, WET_SCHEMA)

@@ -67,6 +67,7 @@ FAST = [
     "recrawl_schedule",
     "corpus_curate",
     "crawl_trap_hosts",
+    "wet_export",
 ]
 
 

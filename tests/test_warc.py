@@ -145,6 +145,44 @@ def test_warc_sink_roundtrip(spark, tmp_path):
     assert back == set(rows)
 
 
+def test_wet_sink_roundtrip(spark, tmp_path):
+    """write_wet → read_wet is the identity on (url, warc_ts, text) —
+    incl. unicode text and the empty string; WET files ignore any
+    non-conversion record mixed into the directory read."""
+    from boris_spark.sources import read_wet, write_wet
+
+    rows = [
+        (f"http://s.test/p/{i}", D0 + dt.timedelta(seconds=i),
+         "" if i == 7 else f"plain text £{i} — ünïcode body {i}")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, text string")
+    out = str(tmp_path / "wets")
+    n_files = write_wet(df.repartition(4), out)
+    assert 1 <= n_files <= 4
+    back = {
+        (r["url"], r["warc_ts"], r["text"])
+        for r in read_wet(spark, out).collect()
+    }
+    assert back == set(rows)
+
+
+def test_wet_reader_skips_response_records(spark, tmp_path):
+    """A mixed archive (response + conversion members, as real CC segment
+    dirs can interleave) yields only the conversion records from read_wet."""
+    from boris_spark.kernel.warc import build_conversion_record
+    from boris_spark.sources import read_wet
+
+    mixed = gzip.compress(build_response_record(
+        "http://m.test/html", D0, b"<html><p>x</p></html>"), mtime=0)
+    mixed += gzip.compress(build_conversion_record(
+        "http://m.test/text", D0, "just text".encode()), mtime=0)
+    p = tmp_path / "part-0.warc.wet.gz"
+    p.write_bytes(mixed)
+    got = read_wet(spark, str(tmp_path)).collect()
+    assert [(r["url"], r["text"]) for r in got] == [("http://m.test/text", "just text")]
+
+
 def test_crawl_delay_to_host_budgets(spark):
     """Crawl-delay parses per agent group and converts to the engine's
     per-host budget table (round_seconds / delay, floor at min_budget)."""
