@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "corpus_curate",
     "crawl_trap_hosts",
     "wet_export",
+    "robots_decision",
 ]
 
 

@@ -4,18 +4,24 @@ The reference documents robots handling as a spider concern
 (/root/reference/boris/doc/api.scrbl:18-19) but ships no implementation; the
 north rule requires it, so the engine defines the semantics:
 
-- a rules table ``(host, disallow_prefix)``;
-- a URL is blocked iff its path-query-fragment starts with any disallow
-  prefix for its host;
+- a rules table ``(host, rule_type, path)`` — Allow + Disallow, with
+  RFC 9309 §2.2.3 wildcards: ``*`` matches any character run, a trailing
+  ``$`` anchors the end;
+- decision per URL (§2.2.2): the matching rule with the longest path wins,
+  Allow wins length ties, no match → allowed;
 - blocked URLs are recorded in the seen set with ``status=999`` and an empty
   body, so traversal continues deterministically (selectors over the empty
   body return [] and the branch prunes) and the frontier cannot stall on
   them.
 
-Enforcement is a broadcast join on host + JVM-side ``startswith`` — rules
-tables are small relative to the frontier, and the prefix test stays in
-whole-stage codegen. The oracle mirrors the same semantics via
-:class:`RobotsSnapshotFetcher` so parity is testable.
+Enforcement is a broadcast join on host + JVM-side ``LIKE ... ESCAPE``
+(rule paths compile to LIKE patterns once, on the broadcast side) — rules
+tables are small relative to the frontier, and the match stays in
+whole-stage codegen; a plain prefix rule compiles to ``prefix%``, the
+pre-wildcard fast path. The oracle mirrors the same semantics via
+:class:`RobotsSnapshotFetcher` (:func:`robots_decision` is the pure-Python
+reference matcher; tests pin LIKE == decision on fuzzed rule/url
+populations) so parity is testable.
 """
 
 from __future__ import annotations
@@ -28,55 +34,155 @@ from ..oracle.interpreter import SnapshotFetcher
 ROBOTS_STATUS = 999
 
 
-def robots_rules_df(spark: SparkSession, rules: list[tuple[str, str]]) -> DataFrame:
-    return spark.createDataFrame(rules, "host string, disallow_prefix string")
+def robots_rules_df(spark: SparkSession, rules: list[tuple]) -> DataFrame:
+    """Rules list → the engine's rules table ``(host, rule_type, path)``.
+    2-tuples ``(host, path)`` are Disallow rules (the legacy prefix form);
+    3-tuples are ``(host, rule_type, path)``."""
+    full = [
+        (r[0], "disallow", r[1]) if len(r) == 2 else tuple(r) for r in rules
+    ]
+    return spark.createDataFrame(full, "host string, rule_type string, path string")
 
 
 def split_blocked(urls: DataFrame, rules: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """Partition candidate URLs into (allowed, blocked) under *rules*.
+    """Partition candidate URLs into (allowed, blocked) under *rules* with
+    full RFC 9309 §2.2.2 semantics: Allow + Disallow, ``*`` wildcards and
+    trailing-``$`` anchors in rule paths, longest-rule-wins precedence with
+    Allow winning length ties; no matching rule → allowed.
 
-    *urls* must carry (url_canon, host). One broadcast join; the big side is
-    scanned once.
-    """
+    *urls* must carry (url_canon, host); *rules* is ``(host, rule_type,
+    path)`` (a legacy ``(host, disallow_prefix)`` frame is upcast). One
+    broadcast join; the big side is scanned once, and every rule evaluates
+    as a codegen'd ``LIKE ... ESCAPE``, never a regex or Python — a plain
+    prefix rule compiles to ``prefix%``, which keeps the pre-wildcard fast
+    path byte-identical."""
+    if "rule_type" not in rules.columns:  # legacy prefix-rules frame
+        rules = rules.select(
+            "host",
+            F.lit("disallow").alias("rule_type"),
+            F.col("disallow_prefix").alias("path"),
+        )
+    # rule path → LIKE pattern (rule_like_pattern, expressed JVM-side):
+    # strip a trailing '$' (anchor), escape LIKE metacharacters, '*' → '%',
+    # and append '%' when unanchored
+    anchored = F.endswith(F.col("path"), F.lit("$"))
+    base = F.when(
+        anchored, F.expr("substring(path, 1, length(path) - 1)")
+    ).otherwise(F.col("path"))
+    esc = F.replace(
+        F.replace(
+            F.replace(base, F.lit("\\"), F.lit("\\\\")),
+            F.lit("%"), F.lit("\\%"),
+        ),
+        F.lit("_"), F.lit("\\_"),
+    )
+    pat = F.replace(esc, F.lit("*"), F.lit("%"))
+    rules = rules.where(F.col("path") != "").select(
+        "host",
+        F.when(anchored, pat).otherwise(F.concat(pat, F.lit("%")))
+        .alias("_pat"),
+        # precedence: longest rule path wins, Allow wins ties
+        (
+            F.length("path") * 2
+            + F.when(F.col("rule_type") == "allow", 1).otherwise(0)
+        ).alias("_score"),
+    )
     # path+query+fragment = canonical url minus "scheme://host"
-    pqf = F.expr("substring(url_canon, instr(url_canon, '://') + 3 + length(host))")
     hit = (
-        urls.join(F.broadcast(rules), "host", "left")
+        urls.withColumn(
+            "_pqf",
+            F.expr(
+                "substring(url_canon, instr(url_canon, '://') + 3 + length(host))"
+            ),
+        )
+        .join(F.broadcast(rules), "host", "left")
         .withColumn(
-            "_blocked",
+            "_s",
             F.when(
-                F.col("disallow_prefix").isNotNull()
-                & F.startswith(pqf, F.col("disallow_prefix")),
-                1,
-            ).otherwise(0),
+                F.col("_pat").isNotNull()
+                & F.expr("_pqf LIKE _pat ESCAPE '\\\\'"),
+                F.col("_score"),
+            ),
         )
         .groupBy(*urls.columns)
-        .agg(F.max("_blocked").alias("_blocked"))
+        .agg(F.max("_s").alias("_s"))
     )
-    allowed = hit.where(F.col("_blocked") == 0).drop("_blocked")
-    blocked = hit.where(F.col("_blocked") == 1).drop("_blocked")
+    blocked_p = F.col("_s").isNotNull() & (F.col("_s") % 2 == 0)
+    allowed = hit.where(~blocked_p).drop("_s")
+    blocked = hit.where(blocked_p).drop("_s")
     return allowed, blocked
 
 
-def parse_robots(text: str, agent: str = "*") -> list[str]:
-    """Parse a robots.txt body into the Disallow prefixes that apply to
-    *agent* — the RFC 9309 subset the rules table consumes:
+def parse_robots_rules(text: str, agent: str = "*") -> list[tuple[str, str]]:
+    """Parse a robots.txt body into the ``(rule_type, path)`` rules that
+    apply to *agent* — rule_type in {'allow', 'disallow'} — the RFC 9309
+    grammar the rules table consumes:
 
     - groups = consecutive ``User-agent`` lines followed by their rules;
     - the most specific matching group wins: an exact (case-insensitive)
       agent token beats ``*``; with several same-specificity groups their
       rules merge (RFC 9309 §2.2.1);
-    - ``Disallow:`` with an empty value allows everything (no rule);
-    - ``Allow`` lines and wildcards inside paths are OUT of the subset —
-      the engine's enforcement is pure prefix-match (split_blocked above);
+    - ``Allow``/``Disallow`` with an empty value carry no rule;
+    - rule paths may use ``*`` (any char run) and a trailing ``$`` (end
+      anchor) — matching/precedence live in :func:`robots_decision` /
+      :func:`split_blocked` (longest rule wins, Allow wins ties,
+      RFC 9309 §2.2.2);
     - ``#`` comments and unknown directives are skipped.
     """
     groups = _parse_groups(text)
     agent = agent.lower()
-    exact = [r for agents, rules, _ in groups if agent in agents for r in rules]
     if any(agent in agents for agents, _, _ in groups):
-        return exact
+        return [r for agents, rules, _ in groups if agent in agents for r in rules]
     return [r for agents, rules, _ in groups if "*" in agents for r in rules]
+
+
+def parse_robots(text: str, agent: str = "*") -> list[str]:
+    """The Disallow paths that apply to *agent* (the legacy prefix-rules
+    view of :func:`parse_robots_rules`)."""
+    return [p for t, p in parse_robots_rules(text, agent) if t == "disallow"]
+
+
+def rule_like_pattern(path: str) -> str:
+    """A robots rule path → the SQL ``LIKE ... ESCAPE '\\'`` pattern with
+    identical semantics: ``*`` → ``%``, a TRAILING ``$`` anchors the end
+    (no trailing ``%``), and LIKE metacharacters in the path are escaped.
+    This is what lets rule matching run whole-stage-codegen'd JVM-side in
+    :func:`split_blocked` — no regex compilation per row, no Python."""
+    anchored = path.endswith("$")
+    if anchored:
+        path = path[:-1]
+    esc = (
+        path.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
+    )
+    pat = esc.replace("*", "%")
+    return pat if anchored else pat + "%"
+
+
+def _rule_regex(path: str):
+    import re
+
+    anchored = path.endswith("$")
+    if anchored:
+        path = path[:-1]
+    pat = ".*".join(re.escape(seg) for seg in path.split("*"))
+    return re.compile("^" + pat + ("$" if anchored else ""))
+
+
+def robots_decision(rules: list[tuple[str, str]], pqf: str) -> bool:
+    """True iff *pqf* (path+query+fragment) is allowed under *rules*
+    (``(rule_type, path)`` pairs): the matching rule with the longest
+    path wins; on a length tie Allow wins; no match → allowed
+    (RFC 9309 §2.2.2). The pure-Python reference matcher — the engine's
+    LIKE-based :func:`split_blocked` is pinned against it by tests."""
+    best: tuple[int, int] | None = None
+    for t, path in rules:
+        if not path:
+            continue
+        if _rule_regex(path).match(pqf):
+            key = (len(path), 1 if t == "allow" else 0)
+            if best is None or key > best:
+                best = key
+    return best is None or best[1] == 1
 
 
 def parse_crawl_delay(text: str, agent: str = "*") -> float | None:
@@ -93,11 +199,13 @@ def parse_crawl_delay(text: str, agent: str = "*") -> float | None:
     return min(delays) if delays else None
 
 
-def _parse_groups(text: str) -> list[tuple[list[str], list[str], float | None]]:
-    """robots.txt → [(agent tokens, disallow prefixes, crawl-delay)]."""
-    groups: list[tuple[list[str], list[str], float | None]] = []
+def _parse_groups(
+    text: str,
+) -> list[tuple[list[str], list[tuple[str, str]], float | None]]:
+    """robots.txt → [(agent tokens, [(rule_type, path)], crawl-delay)]."""
+    groups: list[tuple[list[str], list[tuple[str, str]], float | None]] = []
     cur_agents: list[str] = []
-    cur_rules: list[str] = []
+    cur_rules: list[tuple[str, str]] = []
     cur_delay: float | None = None
     in_rules = False
 
@@ -119,17 +227,17 @@ def _parse_groups(text: str) -> list[tuple[list[str], list[str], float | None]]:
                 flush()
                 in_rules = False
             cur_agents.append(value.lower())
-        elif key == "disallow":
+        elif key in ("disallow", "allow"):
             in_rules = True
             if value:
-                cur_rules.append(value)
+                cur_rules.append((key, value))
         elif key == "crawl-delay":
             in_rules = True
             try:
                 cur_delay = float(value)
             except ValueError:
                 pass
-        elif key in ("allow", "sitemap"):
+        elif key == "sitemap":
             in_rules = True  # rule line: terminates the user-agent run
     flush()
     return groups
@@ -154,9 +262,10 @@ def robots_frames(keys, bodies, agent: str = "*"):
     bodies.
 
     *keys* identifies each file (host, orderkey, …); returns
-    ``(rules, delays)``: pandas frames ``(key, disallow_prefix)`` — rule
-    order preserved within each file — and ``(key, delay)`` with one row
-    per file that has an applicable Crawl-delay.
+    ``(rules, delays)``: pandas frames ``(key, rule_type, path)`` — rule
+    order preserved within each file, rule_type in {'allow', 'disallow'} —
+    and ``(key, delay)`` with one row per file that has an applicable
+    Crawl-delay.
     """
     import numpy as np
     import pandas as pd
@@ -166,7 +275,7 @@ def robots_frames(keys, bodies, agent: str = "*"):
     body = pd.Series(
         [b if isinstance(b, str) else "" for b in bodies], name="body"
     )
-    empty_rules = pd.DataFrame({"key": keys[:0], "disallow_prefix": []})
+    empty_rules = pd.DataFrame({"key": keys[:0], "rule_type": [], "path": []})
     empty_delays = pd.DataFrame({"key": keys[:0], "delay": []})
     if len(keys) == 0:
         return empty_rules, empty_delays
@@ -213,12 +322,14 @@ def robots_frames(keys, bodies, agent: str = "*"):
         selected=np.where(any_exact, flags["is_exact"], flags["is_star"])
     )
     sel = flags[flags["selected"]].reset_index()[["hid", "gid"]]
-    # 5. rules: non-empty Disallow values of selected groups, file order
-    dis = f[f["key"].eq("disallow") & f["value"].ne("")]
+    # 5. rules: non-empty Allow/Disallow values of selected groups, file
+    #    order preserved (the original index survives the merge sort)
+    dis = f[f["key"].isin(("allow", "disallow")) & f["value"].ne("")]
     dis = dis.merge(sel, on=["hid", "gid"])
     rules = pd.DataFrame({
         "key": keys.to_numpy()[dis["hid"].to_numpy()],
-        "disallow_prefix": dis["value"].to_numpy(),
+        "rule_type": dis["key"].to_numpy(),
+        "path": dis["value"].to_numpy(),
     })
     # 6. delays: last float-parsable Crawl-delay per group (invalid values
     #    leave the previous one standing), min across selected groups
@@ -281,10 +392,10 @@ def robots_rules_from_pages(
     spark: SparkSession, robots_df: DataFrame, agent: str = "*"
 ) -> DataFrame:
     """(host, body) rows of fetched /robots.txt files → the engine's rules
-    table ``(host, disallow_prefix)``. Parse runs distributed in Arrow
-    batches — vectorized pandas str ops via :func:`robots_frames`, no
-    per-row Python — and the result is the (small) broadcast side of
-    split_blocked."""
+    table ``(host, rule_type, path)`` (Allow + Disallow, wildcard paths).
+    Parse runs distributed in Arrow batches — vectorized pandas str ops via
+    :func:`robots_frames`, no per-row Python — and the result is the
+    (small) broadcast side of split_blocked."""
 
     def parse(batches):
         import pandas as pd  # noqa: F401
@@ -294,23 +405,31 @@ def robots_rules_from_pages(
             yield rules.rename(columns={"key": "host"})
 
     return robots_df.select("host", "body").mapInPandas(
-        parse, "host string, disallow_prefix string"
+        parse, "host string, rule_type string, path string"
     )
 
 
 class RobotsSnapshotFetcher(SnapshotFetcher):
-    """Oracle-side mirror: blocked URLs yield (999, "")."""
+    """Oracle-side mirror: blocked URLs yield (999, ""). Rules are
+    ``(host, path)`` Disallow pairs or ``(host, rule_type, path)`` triples;
+    the decision is :func:`robots_decision` — the same RFC 9309 §2.2.2
+    longest-match/Allow-wins semantics the engine's split_blocked
+    implements with LIKE patterns, so engine-vs-oracle parity covers the
+    wildcard grammar too."""
 
-    def __init__(self, pages: dict[str, str], rules: list[tuple[str, str]]):
+    def __init__(self, pages: dict[str, str], rules: list[tuple]):
         super().__init__(pages)
-        self.rules = rules
+        self.rules = [
+            (r[0], "disallow", r[1]) if len(r) == 2 else tuple(r)
+            for r in rules
+        ]
 
     def fetch(self, url_canon: str, method: str = "GET", form_data=None,
               url_full: str | None = None, jar=None):
         rest = url_canon.split("://", 1)[-1]
         host, _, pqf = rest.partition("/")
         pqf = "/" + pqf
-        for rhost, prefix in self.rules:
-            if rhost == host and pqf.startswith(prefix):
-                return (ROBOTS_STATUS, "")
+        host_rules = [(t, p) for rhost, t, p in self.rules if rhost == host]
+        if host_rules and not robots_decision(host_rules, pqf):
+            return (ROBOTS_STATUS, "")
         return super().fetch(url_canon, method, form_data, url_full)

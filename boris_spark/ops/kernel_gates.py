@@ -221,17 +221,21 @@ def cookie_fold(spark, sf_dir):
 @q(
     "robots_parse",
     """
-    SELECT o_orderkey, '/b/' || o_orderkey AS disallow_prefix FROM orders
+    SELECT o_orderkey, 'disallow' AS rule_type,
+           '/b/' || o_orderkey AS path FROM orders
     UNION ALL
-    SELECT o_orderkey, '/priv' FROM orders
+    SELECT o_orderkey, 'disallow', '/priv' FROM orders
+    UNION ALL
+    SELECT o_orderkey, 'allow', '/b/ok*.html$' FROM orders
     """,
 )
 def robots_parse(spark, sf_dir):
-    """robots.txt parser gate (RFC 9309 subset, engine/robots.py): the
-    agent-specific group ('boris') wins over '*'; comments, Allow lines and
-    empty Disallows are skipped; two prefixes per synthesized file. Runs
-    the VECTORIZED batch parser (robots_frames — pandas str ops, no
-    per-row Python); loop-vs-frame equivalence is separately pinned by
+    """robots.txt parser gate (RFC 9309, engine/robots.py): the
+    agent-specific group ('boris') wins over '*'; comments and empty
+    Disallows are skipped; Allow rules (incl. wildcard/anchor paths) parse
+    alongside Disallow — three rules per synthesized file. Runs the
+    VECTORIZED batch parser (robots_frames — pandas str ops, no per-row
+    Python); loop-vs-frame equivalence is separately pinned by
     tests/test_warc.py's golden + hypothesis parity tests."""
     from ..engine.robots import robots_frames
 
@@ -247,7 +251,7 @@ def robots_parse(spark, sf_dir):
                     "User-agent: boris\n"
                     f"Disallow: /b/{k}\n"
                     "Disallow: /priv\n"
-                    "Allow: /b/ok\n"
+                    "Allow: /b/ok*.html$\n"
                     "\n"
                     "User-agent: *\n"
                     "Disallow: /everyone\n"
@@ -258,10 +262,11 @@ def robots_parse(spark, sf_dir):
             rules, _ = robots_frames(pdf["o_orderkey"], bodies, "boris")
             yield pd.DataFrame({
                 "o_orderkey": rules["key"].astype("int64"),
-                "disallow_prefix": rules["disallow_prefix"],
+                "rule_type": rules["rule_type"],
+                "path": rules["path"],
             })
 
-    return o.mapInPandas(run, "o_orderkey long, disallow_prefix string")
+    return o.mapInPandas(run, "o_orderkey long, rule_type string, path string")
 
 
 @q(
@@ -325,4 +330,81 @@ def doc_main_text(spark, sf_dir):
 
     return o.mapInPandas(
         run, "o_orderkey long, main_text string, n_blocks int"
+    )
+
+
+_RDEC_SQL = """
+WITH u AS (
+  SELECT o_orderkey,
+         'h' || (o_orderkey % 5) || '.t' AS host,
+         '/p/' || (o_orderkey % 40)
+           || CASE WHEN o_orderkey % 2 = 0 THEN '.html' ELSE '' END AS pqf
+  FROM orders
+),
+r AS (
+  SELECT 'h' || h || '.t' AS host, 'disallow' AS rule_type,
+         '/p/' AS path, '/p/%' AS pat, 3 AS plen
+  FROM range(5) t(h)
+  UNION ALL
+  SELECT 'h' || h || '.t', 'allow', '/p/*.html$', '/p/%.html', 10
+  FROM range(5) t(h)
+  UNION ALL
+  SELECT 'h' || h || '.t', 'disallow', '/p/1*.html$', '/p/1%.html', 11
+  FROM range(5) t(h)
+),
+m AS (
+  SELECT u.o_orderkey, r.rule_type, r.plen
+  FROM u JOIN r USING (host) WHERE u.pqf LIKE r.pat
+),
+best AS (
+  SELECT o_orderkey,
+         max(plen * 2 + CASE WHEN rule_type = 'allow' THEN 1 ELSE 0 END) AS s
+  FROM m GROUP BY o_orderkey
+)
+SELECT u.o_orderkey, 'http://' || u.host || u.pqf AS url_canon,
+       COALESCE(best.s % 2 = 1, TRUE) AS allowed
+FROM u LEFT JOIN best USING (o_orderkey)
+"""
+
+
+@q("robots_decision", _RDEC_SQL)
+def robots_decision_gate(spark, sf_dir):
+    """robots decision gate (RFC 9309 §2.2.2-§2.2.3): the engine's
+    split_blocked — Allow + Disallow rules with ``*`` wildcards and
+    trailing-``$`` anchors compiled to codegen'd LIKE patterns, longest
+    rule wins, Allow wins ties, no match allows — partitions a synthesized
+    URL population; the oracle replays the same precedence with LIKE +
+    a grouped max in SQL. The rules side is a broadcast (it is per-HOST
+    metadata — at 10^8 hosts it shards by host range, still never
+    frontier-sized); the URL side is scanned once and the per-URL best
+    match is one partial-agg shuffle (inside split_blocked's groupBy)."""
+    from ..engine.robots import robots_rules_df, split_blocked
+
+    u = _orders_keyed(spark, sf_dir).select(
+        "o_orderkey",
+        F.concat(
+            F.lit("h"), F.pmod("o_orderkey", F.lit(5)).cast("string"), F.lit(".t")
+        ).alias("host"),
+        F.concat(
+            F.lit("/p/"), F.pmod("o_orderkey", F.lit(40)).cast("string"),
+            F.when(F.pmod("o_orderkey", F.lit(2)) == 0, ".html").otherwise(""),
+        ).alias("pqf"),
+    ).select(
+        "o_orderkey", "host",
+        F.concat(F.lit("http://"), "host", "pqf").alias("url_canon"),
+    )
+    rules = robots_rules_df(spark, [
+        (f"h{h}.t", t, p)
+        for h in range(5)
+        for t, p in [
+            ("disallow", "/p/"),
+            ("allow", "/p/*.html$"),
+            ("disallow", "/p/1*.html$"),
+        ]
+    ])
+    allowed, blocked = split_blocked(u, rules)
+    return (
+        allowed.withColumn("allowed", F.lit(True))
+        .unionByName(blocked.withColumn("allowed", F.lit(False)))
+        .select("o_orderkey", "url_canon", "allowed")
     )

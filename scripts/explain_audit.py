@@ -14,6 +14,7 @@ from contextlib import redirect_stdout
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from boris_spark.engine.session import get_spark  # noqa: E402
+from boris_spark.ops import kernel_gates as _kg  # noqa: E402,F401 — registers gates
 from boris_spark.ops.queries import QUERIES  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
@@ -125,6 +126,9 @@ EXPECTATIONS = {
     # trap detection: segment analysis is a codegen'd scan projection
     # (no UDF); the host rollup is one partial-agg shuffle
     "crawl_trap_hosts": ["HashAggregate", "ReadSchema: struct<o_orderkey:bigint>"],
+    # robots decision: rules broadcast, URL side scanned once, per-URL
+    # best-match via one partial-agg shuffle; the LIKE match is codegen'd
+    "robots_decision": ["BroadcastHashJoin", "HashAggregate"],
 }
 
 # query → substrings that must NOT appear (the round-1 defect signatures)

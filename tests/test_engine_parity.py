@@ -282,7 +282,13 @@ def test_robots_parity_fused_callable(spark, corpus, tmp_path):
     _, pages_dict = corpus
     seeds = webgen.seeds_for(N_PAGES, SEED)
     program = flagship_program(seeds)
-    rules = [("h0.site42.test", "/p/1"), ("h1.site42.test", "/")]
+    rules = [
+        ("h0.site42.test", "/p/1"), ("h1.site42.test", "/"),
+        # RFC 9309 wildcard grammar through BOTH sides: allow-overrides,
+        # '*' runs, trailing-$ anchors — engine LIKE vs oracle regex
+        ("h1.site42.test", "allow", "/p/*0$"),
+        ("h2.site42.test", "disallow", "/p/*3"),
+    ]
     from boris_spark.oracle import spider as run_spider
 
     oracle = run_spider(program, RobotsSnapshotFetcher(pages_dict, rules))

@@ -68,6 +68,7 @@ FAST = [
     "corpus_curate",
     "crawl_trap_hosts",
     "wet_export",
+    "robots_decision",
 ]
 
 

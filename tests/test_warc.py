@@ -73,10 +73,13 @@ def test_robots_rules_from_pages(spark):
         "host string, body string",
     )
     rules = {
-        (r["host"], r["disallow_prefix"])
+        (r["host"], r["rule_type"], r["path"])
         for r in robots_rules_from_pages(spark, df, agent="boris").collect()
     }
-    assert rules == {("a.test", "/x/"), ("a.test", "/y"), ("b.test", "/only-boris")}
+    assert rules == {
+        ("a.test", "disallow", "/x/"), ("a.test", "disallow", "/y"),
+        ("b.test", "disallow", "/only-boris"),
+    }
 
 
 def test_warc_roundtrip_fuzz():
@@ -183,6 +186,71 @@ def test_wet_reader_skips_response_records(spark, tmp_path):
     assert [(r["url"], r["text"]) for r in got] == [("http://m.test/text", "just text")]
 
 
+def test_robots_decision_rfc9309_goldens():
+    """Longest-match + Allow-wins-ties + wildcard/anchor semantics on the
+    examples Google's robots.txt documentation uses (the de-facto RFC 9309
+    §2.2.2 test vectors)."""
+    from boris_spark.engine.robots import robots_decision
+
+    assert robots_decision([("allow", "/p"), ("disallow", "/")], "/page")
+    assert robots_decision(
+        [("allow", "/folder"), ("disallow", "/folder")], "/folder/page"
+    )  # tie → allow wins
+    assert not robots_decision(
+        [("allow", "/page"), ("disallow", "/*.htm")], "/page.htm"
+    )  # /*.htm (6) beats /page (5)
+    rules = [("allow", "/$"), ("disallow", "/")]
+    assert robots_decision(rules, "/")
+    assert not robots_decision(rules, "/page")
+    fish = [("disallow", "/fish*.php$")]
+    assert not robots_decision(fish, "/fish/salmon.php")
+    assert robots_decision(fish, "/fish.php?query=1")  # $ anchors the end
+    assert robots_decision([], "/anything")  # no rules → allowed
+    assert robots_decision([("disallow", "$")], "/x")  # bare anchor: no match
+
+
+def test_split_blocked_matches_reference_decision(spark):
+    """The engine's codegen'd LIKE matcher == robots_decision on a fuzzed
+    rule/url population covering wildcards, anchors, LIKE metacharacters
+    (%, _, \\) as literals, and multi-rule precedence — one Spark job."""
+    import random
+
+    from boris_spark.engine.robots import (
+        robots_decision, robots_rules_df, split_blocked,
+    )
+
+    rng = random.Random(7)
+    rule_alpha = "ab/*$%_\\."
+    url_alpha = "ab/.%_\\$"
+    rules = [
+        (
+            f"h{i % 8}.test",
+            rng.choice(["allow", "disallow"]),
+            "/" + "".join(rng.choice(rule_alpha) for _ in range(rng.randint(0, 6))),
+        )
+        for i in range(48)
+    ]
+    urls = []
+    for i in range(160):
+        host = f"h{i % 8}.test"
+        pqf = "/" + "".join(rng.choice(url_alpha) for _ in range(rng.randint(0, 8)))
+        urls.append((f"http://{host}{pqf}", host, pqf))
+    by_host: dict[str, list] = {}
+    for h, t, p in rules:
+        by_host.setdefault(h, []).append((t, p))
+    want_allowed = {
+        u for u, h, pqf in urls if robots_decision(by_host.get(h, []), pqf)
+    }
+    df = spark.createDataFrame(
+        [(u, h) for u, h, _ in urls], "url_canon string, host string"
+    ).distinct()
+    allowed, blocked = split_blocked(df, robots_rules_df(spark, rules))
+    got_allowed = {r["url_canon"] for r in allowed.collect()}
+    got_blocked = {r["url_canon"] for r in blocked.collect()}
+    assert got_allowed == want_allowed
+    assert got_blocked == {u for u, _, _ in urls} - want_allowed
+
+
 def test_crawl_delay_to_host_budgets(spark):
     """Crawl-delay parses per agent group and converts to the engine's
     per-host budget table (round_seconds / delay, floor at min_budget)."""
@@ -217,7 +285,7 @@ def test_robots_frames_loop_parity_goldens():
     """The vectorized pandas parser (robots_frames) == the loop parser on
     hand-written golden bodies covering every grammar branch."""
     from boris_spark.engine.robots import (
-        parse_crawl_delay, parse_robots, robots_frames,
+        parse_crawl_delay, parse_robots, parse_robots_rules, robots_frames,
     )
 
     bodies = [
@@ -246,8 +314,12 @@ def test_robots_frames_loop_parity_goldens():
     keys = [f"h{i}" for i in range(len(bodies))]
     rules, delays = robots_frames(keys, bodies, "boris")
     for k, b in zip(keys, bodies):
+        mine = rules[rules["key"] == k]
+        assert parse_robots_rules(b, "boris") == list(
+            zip(mine["rule_type"], mine["path"])
+        ), k
         assert parse_robots(b, "boris") == (
-            rules[rules["key"] == k]["disallow_prefix"].tolist()
+            mine[mine["rule_type"] == "disallow"]["path"].tolist()
         ), k
         ld = parse_crawl_delay(b, "boris")
         vd = delays[delays["key"] == k]["delay"].tolist()
@@ -264,13 +336,14 @@ def test_robots_frames_loop_parity_fuzz():
     from hypothesis import strategies as st
 
     from boris_spark.engine.robots import (
-        parse_crawl_delay, parse_robots, robots_frames,
+        parse_crawl_delay, parse_robots_rules, robots_frames,
     )
 
     frag = st.sampled_from([
         "User-agent: boris", "User-agent: *", "User-agent: other",
         "user-AGENT:  boris ", "Disallow: /a", "Disallow: /b#c",
-        "Disallow:", "disallow: /CaSe", "Allow: /ok", "Sitemap: http://s/",
+        "Disallow:", "disallow: /CaSe", "Allow: /ok", "Allow:",
+        "Disallow: /fish*.php$", "Allow: /*/ok$", "Sitemap: http://s/",
         "Crawl-delay: 1", "Crawl-delay: 2.5", "Crawl-delay: junk",
         "crawl-delay:0.25", "# comment", "", "garbage line", "Key: value",
     ])
@@ -281,7 +354,9 @@ def test_robots_frames_loop_parity_fuzz():
     def check(lines, s):
         body = s.join(lines)
         rules, delays = robots_frames(["h"], [body], "boris")
-        assert parse_robots(body, "boris") == rules["disallow_prefix"].tolist()
+        assert parse_robots_rules(body, "boris") == list(
+            zip(rules["rule_type"], rules["path"])
+        )
         ld = parse_crawl_delay(body, "boris")
         vd = delays["delay"].tolist()
         if ld is None:
