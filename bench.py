@@ -64,6 +64,9 @@ BENCH_QUERIES = [
     "crawl_trap_hosts",
     "wet_export",
     "robots_decision",
+    "anchor_text_index",
+    "text_normalize",
+    "cdx_revisit",
 ]
 
 

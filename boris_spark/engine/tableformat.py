@@ -92,6 +92,12 @@ class TableFormat:
     def committed_rounds(self) -> list[int]:
         raise NotImplementedError
 
+    def round_metrics(self, rnd: int) -> dict:
+        """The metrics payload committed with round *rnd*'s snapshot
+        (fetched/results counts + per-partition lineage) — the Iceberg
+        snapshot-summary read. Raises if the round was never committed."""
+        raise NotImplementedError
+
 
 class ParquetManifestFormat(TableFormat):
     """Default impl: ``workdir/<sink>/round=N`` parquet deltas + JSON round
@@ -224,6 +230,10 @@ class ParquetManifestFormat(TableFormat):
             int(f.split(".")[0])
             for f in os.listdir(rounds_dir) if f.endswith(".json")
         )
+
+    def round_metrics(self, rnd: int) -> dict:
+        with open(self._path("rounds", f"{rnd}.json")) as f:
+            return json.load(f)
 
 
 class LocalCatalogFormat(TableFormat):
@@ -392,6 +402,16 @@ class LocalCatalogFormat(TableFormat):
             for r in self.spark.table(self._tbl("rounds"))
             .select("round").collect()
         )
+
+    def round_metrics(self, rnd: int) -> dict:
+        rows = (
+            self.spark.table(self._tbl("rounds"))
+            .where(f"round = {int(rnd)}")
+            .select("metrics").collect()
+        )
+        if not rows:
+            raise KeyError(f"round {rnd} has no committed snapshot")
+        return json.loads(rows[-1]["metrics"])
 
     def drop(self) -> None:
         """Drop every sink table + the database (test cleanup)."""

@@ -2528,3 +2528,284 @@ def crawl_trap_hosts(spark, sf_dir):
         F.round(F.sum("is_trap_url") / F.count("*"), 6).alias("trap_share"),
         (F.sum("is_trap_url") / F.count("*") > 0.3).alias("is_trap"),
     )
+
+
+# =====================================================================
+# Snapshot-lineage, link-signal, normalization and revisit gates (#62-65)
+# =====================================================================
+
+
+@q(
+    "crawl_round_metrics",
+    f"""
+    WITH RECURSIVE lv(round, lo, hi) AS (
+      SELECT CAST(0 AS BIGINT), CAST({CRAWL_SEED_DOC} AS BIGINT),
+             CAST({CRAWL_SEED_DOC} AS BIGINT)
+      UNION ALL
+      SELECT round + 1, 2*lo + 1, 2*hi + 2 FROM lv
+      WHERE 2*lo + 1 <= (SELECT count(*) - 1 FROM documents)
+    )
+    SELECT round,
+           LEAST((SELECT count(*) - 1 FROM documents), hi) - lo + 1
+             AS n_fetched,
+           TRUE AS has_lineage
+    FROM lv ORDER BY round
+    """,
+)
+def crawl_round_metrics(spark, sf_dir):
+    """Per-round snapshot metrics read back from the crawl's committed
+    round manifests — the Iceberg snapshot-summary surface the north rule
+    names ("every round commits a snapshot carrying per-partition lineage
+    and fetch/extract metrics"). The gate runs the memoized doc crawl,
+    then reads each committed round's metrics through the TableFormat
+    seam (``round_metrics``, JSON manifests here / the snapshot log table
+    on LocalCatalogFormat / Iceberg snapshot summaries on a cluster) and
+    checks the recorded fetch counts against the closed-form BFS level
+    sizes of the seed's binary subtree, and that every round's lineage
+    list is non-empty. Metadata-only on the Spark side — round count is
+    O(log pages), so the driver-side frame is bounded by design (a
+    10^10-URL crawl commits tens of rounds, not billions).
+
+    Reference: the fs-dict cache's on-disk state is the reference's only
+    crawl metadata (/root/reference/persistent/main.rkt:37-67); per-round
+    lineage+metrics is the distributed upgrade of it."""
+    eng, _ = _run_doc_crawl(spark, sf_dir)
+    rows = []
+    for r in eng.table.committed_rounds():
+        m = eng.table.round_metrics(r)
+        rows.append(
+            (int(r), int(m["fetched"]), len(m.get("partitions") or []) > 0)
+        )
+    return spark.createDataFrame(
+        rows, "round bigint, n_fetched bigint, has_lineage boolean"
+    )
+
+
+_HUB_MOD = 16  # every page also links to doc (id % 16) with anchor 'hub'
+
+
+@q(
+    "anchor_text_index",
+    f"""
+    WITH u AS (
+      SELECT doc_id AS t, 'doc ' || doc_id AS txt
+      FROM documents WHERE doc_id >= 1
+      UNION ALL
+      SELECT doc_id % {_HUB_MOD} AS t, 'hub' AS txt FROM documents
+    ),
+    a AS (SELECT t, CAST(count(*) AS BIGINT) AS n_anchors FROM u GROUP BY t),
+    d AS (SELECT DISTINCT t, txt FROM u),
+    s AS (
+      SELECT t, string_agg(txt, '|' ORDER BY txt) AS anchor_texts
+      FROM d GROUP BY t
+    )
+    SELECT 'http://h' || (a.t % {DOC_HOSTS}) || '.docs.test/d/' || a.t AS url,
+           a.n_anchors, s.anchor_texts
+    FROM a JOIN s ON a.t = s.t
+    """,
+)
+def anchor_text_index(spark, sf_dir):
+    """Anchor-text aggregation per target URL — the classic link-signal
+    index behind crawl prioritization and search ranking (anchor text
+    describes the TARGET page better than its own content). Pages are the
+    binary-tree doc pages plus one extra 'hub' anchor per page pointing
+    at doc (id % {_HUB_MOD}), so hub targets accumulate many inlinks —
+    the skew shape a real anchor index has (popular pages get millions of
+    anchors). The HTML parse is the kernel's xpath over every <a> in an
+    Arrow-batched mapInPandas (one pass per page, all cores); the rollup
+    is one partial-agg shuffle on the target URL, where collect_set keeps
+    only DISTINCT anchor strings per target (bounded vocabulary per page
+    at web scale, vs collecting every duplicate anchor), and the count
+    rides the same shuffle. Sorted-joined texts pin the value hash.
+
+    Reference: links/text selector, /root/reference/hypertext-browser/
+    html/links.rkt:37-43."""
+    docs = T(spark, sf_dir, "documents")
+    n = table_rows(sf_dir, "documents")
+    uid = lambda c: F.concat(  # noqa: E731
+        F.lit("http://h"), F.pmod(c, F.lit(DOC_HOSTS)).cast("string"),
+        F.lit(".docs.test/d/"), c.cast("string")
+    )
+    anchor = lambda c, txt: F.when(  # noqa: E731
+        c < n,
+        F.concat(F.lit("<a href='"), uid(c), F.lit("'>"), txt, F.lit("</a>")),
+    ).otherwise(F.lit(""))
+    d = F.col("doc_id")
+    pages = docs.select(
+        F.concat(
+            F.lit("<html><body>"),
+            anchor(2 * d + 1, F.concat(F.lit("doc "), (2 * d + 1).cast("string"))),
+            anchor(2 * d + 2, F.concat(F.lit("doc "), (2 * d + 2).cast("string"))),
+            anchor(F.pmod(d, F.lit(_HUB_MOD)), F.lit("hub")),
+            F.lit("</body></html>"),
+        ).alias("html")
+    ).repartition(spark.sparkContext.defaultParallelism)
+
+    def run(batches):
+        import pandas as pd
+
+        from ..kernel import xpath, xpath_first
+
+        for pdf in batches:
+            rows = []
+            for html in pdf["html"]:
+                for a in xpath(html, "//a"):
+                    href = xpath_first(a, "/a/@href/text()")
+                    if href is not None:
+                        rows.append(
+                            {"url": href, "txt": xpath_first(a, "/a/text()", "")}
+                        )
+            yield pd.DataFrame(rows, columns=["url", "txt"])
+
+    anchors = pages.mapInPandas(run, "url string, txt string")
+    return anchors.groupBy("url").agg(
+        F.count("*").cast("long").alias("n_anchors"),
+        F.array_join(F.sort_array(F.collect_set("txt")), "|").alias(
+            "anchor_texts"
+        ),
+    )
+
+
+# Non-NFC decorations cycled onto document text by doc_id % 4: combining
+# acute (e + U+0301), ANGSTROM SIGN U+212B (NFC -> U+00C5), and a
+# double-space + combining-ring fixture; index 0 leaves the text as-is.
+_NFC_FIXTURES = ["", "éclair", "Ångström", "Café  ①"]
+
+
+@q(
+    "text_normalize",
+    f"""
+    WITH f AS (
+      SELECT doc_id,
+             text || CASE CAST(doc_id % 4 AS INT)
+               WHEN 0 THEN ''
+               WHEN 1 THEN ' {_NFC_FIXTURES[1]}'
+               WHEN 2 THEN ' {_NFC_FIXTURES[2]}'
+               ELSE ' {_NFC_FIXTURES[3]}'
+             END AS text_in
+      FROM documents
+    ),
+    n AS (
+      SELECT doc_id, text_in,
+             trim(regexp_replace(nfc_normalize(text_in), '\\s+', ' ', 'g'))
+               AS text_norm
+      FROM f
+    )
+    SELECT doc_id,
+           CAST(length(text_in) AS BIGINT) AS n_chars_in,
+           CAST(length(text_norm) AS BIGINT) AS n_chars_out,
+           (text_norm <> text_in) AS changed,
+           text_norm
+    FROM n
+    """,
+)
+def text_normalize(spark, sf_dir):
+    """Unicode NFC + whitespace normalization — the first transform of
+    every webtext training pipeline (decomposed accents, compatibility
+    codepoints and run-on whitespace from HTML extraction all collapse to
+    one canonical form, so downstream exact-dedup hashes agree across
+    crawls). The corpus text is ASCII, so each doc gets a deterministic
+    non-NFC decoration (combining acute, ANGSTROM SIGN, double space) by
+    doc_id % 4 — both sides construct the same input. NFC itself is the
+    one step Spark has no built-in for: an Arrow-batched pandas_udf over
+    `unicodedata.normalize` (zero-copy string batches, no per-row Python
+    call); the whitespace collapse and the length/changed flags stay
+    JVM-side codegen. Zero shuffles — pure map lineage, scan-partitioned.
+
+    DuckDB's `nfc_normalize` (utf8proc) and CPython's `unicodedata` pin
+    the same Unicode normalization tables for these codepoints, so the
+    full normalized text is value-hashed, not just its length."""
+    import pandas as pd
+
+    docs = T(spark, sf_dir, "documents")
+    fix = F.element_at(
+        F.array(*[F.lit(s if not s else " " + s) for s in _NFC_FIXTURES]),
+        (F.pmod(F.col("doc_id"), F.lit(4)) + 1).cast("int"),
+    )
+    f = docs.select("doc_id", F.concat("text", fix).alias("text_in"))
+
+    @F.pandas_udf("string")
+    def nfc(s):
+        import unicodedata
+
+        return s.map(lambda x: unicodedata.normalize("NFC", x))
+
+    n = f.select(
+        "doc_id",
+        "text_in",
+        F.trim(F.regexp_replace(nfc("text_in"), r"\s+", " ")).alias("text_norm"),
+    )
+    return n.select(
+        "doc_id",
+        F.length("text_in").cast("long").alias("n_chars_in"),
+        F.length("text_norm").cast("long").alias("n_chars_out"),
+        (F.col("text_norm") != F.col("text_in")).alias("changed"),
+        "text_norm",
+    )
+
+
+@q(
+    "cdx_revisit",
+    f"""
+    WITH c AS (
+      SELECT 'test,docs,h' || (doc_id % {DOC_HOSTS}) || ')/d/' || doc_id
+               AS surt,
+             CAST(1700000000 + doc_id + k * 1000000 AS BIGINT) AS fetch_ts,
+             sha256(text || '|v' ||
+                    CASE WHEN k >= doc_id % 3 THEN 1 ELSE 0 END) AS digest
+      FROM documents, (SELECT unnest([0, 1, 2]) AS k)
+    )
+    SELECT surt, fetch_ts, digest,
+           fetch_ts > MIN(fetch_ts) OVER (PARTITION BY surt, digest)
+             AS is_revisit,
+           MIN(fetch_ts) OVER (PARTITION BY surt, digest) AS original_ts
+    FROM c
+    """,
+)
+def cdx_revisit(spark, sf_dir):
+    """CDX 'revisit' record detection — the recrawl-dedup semantics of
+    Common Crawl / web archives: a capture whose payload digest equals an
+    EARLIER capture of the same URL is stored as a revisit record pointing
+    at the original (no payload duplication in the WARC). The capture log
+    is synthesized closed-form: three captures per URL at distinct
+    timestamps, with content changing at capture k = doc_id % 3 (so some
+    URLs never change, some change between every pair). The whole op is
+    one window shuffle on (surt, digest) — partial-agg-friendly, and at
+    10^10 captures the partition key is the URL key itself, so the state
+    per task is the handful of captures of one page, never a host's or a
+    crawl's worth. Digest is JVM-side sha2; no Python in the plan.
+
+    Reference: the fs-dict cache stores one body per URL and replays it
+    (/root/reference/persistent/main.rkt:37-67) — revisit records are the
+    archive-format version of that replay."""
+    docs = T(spark, sf_dir, "documents")
+    k = F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("k")
+    c = docs.select("doc_id", "text", k).select(
+        F.concat(
+            F.lit("test,docs,h"),
+            F.pmod("doc_id", F.lit(DOC_HOSTS)).cast("string"),
+            F.lit(")/d/"),
+            F.col("doc_id").cast("string"),
+        ).alias("surt"),
+        (F.lit(1700000000) + F.col("doc_id") + F.col("k") * 1000000)
+        .cast("long")
+        .alias("fetch_ts"),
+        F.sha2(
+            F.concat(
+                "text",
+                F.lit("|v"),
+                F.when(
+                    F.col("k") >= F.pmod("doc_id", F.lit(3)), F.lit(1)
+                ).otherwise(F.lit(0)).cast("string"),
+            ),
+            256,
+        ).alias("digest"),
+    )
+    w = Window.partitionBy("surt", "digest")
+    return c.select(
+        "surt",
+        "fetch_ts",
+        "digest",
+        (F.col("fetch_ts") > F.min("fetch_ts").over(w)).alias("is_revisit"),
+        F.min("fetch_ts").over(w).alias("original_ts"),
+    )

@@ -124,6 +124,10 @@ def test_commit_and_resume_rounds(spark, tmp_path):
     tf.commit_round(2, {"fetched": 1})
     tf.commit_round(1, {"fetched": 3})
     assert tf.committed_rounds() == [0, 1, 2]
+    # snapshot-summary readback: the metrics payload round-trips verbatim
+    assert tf.round_metrics(2) == {"fetched": 1}
+    with pytest.raises(FileNotFoundError):
+        tf.round_metrics(9)
 
 
 def test_iceberg_format_documents_its_requirements(spark):
@@ -189,6 +193,9 @@ def test_catalog_adopt_and_rounds_history(spark, catfmt, tmp_path):
     catfmt.commit_round(2, {"fetched": 1})
     catfmt.commit_round(1, {"fetched": 3})
     assert catfmt.committed_rounds() == [0, 1, 2]
+    assert catfmt.round_metrics(2) == {"fetched": 1}
+    with pytest.raises(KeyError):
+        catfmt.round_metrics(9)
 
 
 def test_catalog_adopt_parts_single_commit(spark, catfmt, tmp_path):
