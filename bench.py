@@ -241,6 +241,7 @@ def main():
 
     from boris_spark.engine.session import get_spark
     from boris_spark.ops import kernel_gates as _kg  # noqa: F401 — registers gates
+    from boris_spark.ops import warc_gate as _wg  # noqa: F401 — registers gates
     from boris_spark.ops.queries import QUERIES
 
     spark = get_spark("boris-bench", cores=cpus)
