@@ -129,6 +129,16 @@ EXPECTATIONS = {
     # robots decision: rules broadcast, URL side scanned once, per-URL
     # best-match via one partial-agg shuffle; the LIKE match is codegen'd
     "robots_decision": ["BroadcastHashJoin", "HashAggregate"],
+    # anchor index: Arrow-batched kernel parse, then ONE partial-agg
+    # shuffle on the target URL; collect_set bounds per-target state to
+    # distinct anchor strings
+    "anchor_text_index": ["MapInPandas", "HashAggregate", "collect_set"],
+    # NFC normalize: one Arrow Python stage over the scan, everything else
+    # codegen'd projection — the plan must stay shuffle-free (map lineage)
+    "text_normalize": ["ArrowEvalPython", "ReadSchema: struct<doc_id:bigint,text:string>"],
+    # revisit detection: one window shuffle keyed on the URL digest pair —
+    # per-task state is one page's captures, never a host's
+    "cdx_revisit": ["Window", "hashpartitioning(surt"],
 }
 
 # query → substrings that must NOT appear (the round-1 defect signatures)
@@ -144,6 +154,12 @@ FORBIDDEN = {
     "dedup_substring_spans": ["MapInPandas"],
     # single-partition exchange = the naive global-window packing plan
     "corpus_curate": ["SinglePartition"],
+    # NFC normalization is a pure per-row map — any exchange here means a
+    # shuffle crept into a zero-shuffle transform
+    "text_normalize": ["Exchange"],
+    # a global window (no partition key) would funnel every capture
+    # through one task
+    "cdx_revisit": ["SinglePartition"],
 }
 
 
