@@ -67,6 +67,8 @@ BENCH_QUERIES = [
     "anchor_text_index",
     "text_normalize",
     "cdx_revisit",
+    "badwords_filter",
+    "license_detect",
 ]
 
 

@@ -1133,6 +1133,106 @@ def doc_repetition(spark, sf_dir):
     )
 
 
+_BADWORDS = ("slow", "big", "scan")  # stand-in blocklist drawn from the
+# synthetic corpus vocabulary so the gate exercises both keep outcomes;
+# production swaps in the real LDNOOBW-style list — the plan is identical.
+_BAD_FRAC_MAX = 0.1
+
+
+@q(
+    "badwords_filter",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(toks,
+               t -> t IN ({', '.join(repr(w) for w in _BADWORDS)}))) AS BIGINT)
+               AS bad_hits,
+           round(len(list_filter(toks,
+               t -> t IN ({', '.join(repr(w) for w in _BADWORDS)})))
+               / len(toks), 6) AS bad_frac,
+           (len(list_filter(toks,
+               t -> t IN ({', '.join(repr(w) for w in _BADWORDS)})))
+               / len(toks)) < {_BAD_FRAC_MAX} AS keep
+    FROM t
+    """,
+)
+def badwords_filter(spark, sf_dir):
+    """Blocklist-token filter (the C4 "bad words" curation step, relaxed to
+    a fraction threshold a la RefinedWeb/Dolma): per document, the exact
+    count of tokens in a fixed blocklist, the blocklist fraction of all
+    tokens, and the keep decision. Pure JVM higher-order functions
+    (split → filter → size) inside whole-stage codegen — zero shuffle,
+    zero UDF; at 100 TB this is a map-only pass whose cost is the scan. A
+    10^5-entry production blocklist becomes a broadcast hash set via the
+    same `isin` (Catalyst compiles large IN lists to a hash lookup)."""
+    bad = list(_BADWORDS)
+    toks = F.split("text", " ")
+    hits = F.size(F.filter(toks, lambda t: t.isin(bad)))
+    n = F.size(toks)
+    return T(spark, sf_dir, "documents").select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        hits.cast("long").alias("bad_hits"),
+        F.round(hits / n, 6).alias("bad_frac"),
+        ((hits / n) < _BAD_FRAC_MAX).alias("keep"),
+    )
+
+
+@q(
+    "license_detect",
+    """
+    WITH footered AS (
+      SELECT doc_id,
+             text || CASE CAST(doc_id % 4 AS INTEGER)
+               WHEN 0 THEN ' (c) example corp all rights reserved'
+               WHEN 1 THEN ' licensed under creative commons attribution'
+               WHEN 2 THEN ' released into the public domain'
+               ELSE '' END AS page_text
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE
+             WHEN contains(page_text, 'creative commons') THEN 'cc-by'
+             WHEN contains(page_text, 'public domain') THEN 'public-domain'
+             WHEN contains(page_text, 'all rights reserved')
+               THEN 'all-rights-reserved'
+             ELSE 'unknown'
+           END AS license
+    FROM footered
+    """,
+)
+def license_detect(spark, sf_dir):
+    """License detection: classify each page by permissive-license footer
+    markers in priority order (creative commons > public domain > all
+    rights reserved > unknown) — the license-aware filtering step of a
+    training-data pipeline. Footer text is synthesized closed-form from
+    doc_id (the corpus carries no license strings by construction, same
+    device as pii_redact) so all four outcomes are exercised; detection is
+    a codegen'd CASE/contains chain — map-only, zero shuffle, the 100 TB
+    cost is the scan itself."""
+    d = T(spark, sf_dir, "documents")
+    footer = (
+        F.when(F.pmod("doc_id", F.lit(4)) == 0,
+               F.lit(" (c) example corp all rights reserved"))
+        .when(F.pmod("doc_id", F.lit(4)) == 1,
+              F.lit(" licensed under creative commons attribution"))
+        .when(F.pmod("doc_id", F.lit(4)) == 2,
+              F.lit(" released into the public domain"))
+        .otherwise(F.lit(""))
+    )
+    page_text = F.concat("text", footer)
+    lic = (
+        F.when(page_text.contains("creative commons"), "cc-by")
+        .when(page_text.contains("public domain"), "public-domain")
+        .when(page_text.contains("all rights reserved"), "all-rights-reserved")
+        .otherwise("unknown")
+    )
+    return d.select("doc_id", lic.alias("license"))
+
+
 @q(
     "corpus_sample_stratified",
     """

@@ -70,6 +70,11 @@ EXPECTATIONS = {
     "decontaminate_ngram": ["BroadcastHashJoin", "HashAggregate"],
     # PII scrub: pure codegen'd projection, single-column scan, no exchange
     "pii_redact": ["ReadSchema: struct<o_orderkey:bigint>"],
+    # blocklist filter: map-only higher-order-function pass, two-column
+    # pruned scan, no exchange anywhere in the plan
+    "badwords_filter": ["ReadSchema: struct<doc_id:bigint,text:string>"],
+    # license classification: codegen'd CASE/contains projection, map-only
+    "license_detect": ["ReadSchema: struct<doc_id:bigint,text:string>"],
     # repetition score: both aggregations carry map-side partial agg
     "doc_repetition": [
         "HashAggregate",
@@ -157,6 +162,11 @@ FORBIDDEN = {
     # NFC normalization is a pure per-row map — any exchange here means a
     # shuffle crept into a zero-shuffle transform
     "text_normalize": ["Exchange"],
+    # blocklist filter and license classification are map-only scans:
+    # an exchange means a shuffle crept in; a Python stage means the
+    # higher-order-function / CASE chain fell off the codegen path
+    "badwords_filter": ["Exchange", "ArrowEvalPython", "BatchEvalPython"],
+    "license_detect": ["Exchange", "ArrowEvalPython", "BatchEvalPython"],
     # a global window (no partition key) would funnel every capture
     # through one task
     "cdx_revisit": ["SinglePartition"],

@@ -69,6 +69,8 @@ FAST = [
     "crawl_trap_hosts",
     "wet_export",
     "robots_decision",
+    "badwords_filter",
+    "license_detect",
 ]
 
 
