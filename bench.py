@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "cdx_revisit",
     "badwords_filter",
     "license_detect",
+    "doc_lm_score",
 ]
 
 

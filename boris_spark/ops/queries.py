@@ -1234,6 +1234,68 @@ def license_detect(spark, sf_dir):
 
 
 @q(
+    "doc_lm_score",
+    """
+    WITH t AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+      FROM t GROUP BY 1, 2
+    ),
+    vocab AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab),
+    s AS (
+      SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+             CAST(sum(tf * cnt) AS BIGINT) AS w
+      FROM tf JOIN vocab USING (tok) GROUP BY 1
+    )
+    SELECT doc_id, n_tokens,
+           round(w / (n_tokens * total), 6) AS mean_tok_prob,
+           round((n_tokens * total) / w, 4) AS rarity
+    FROM s, tot
+    """,
+)
+def doc_lm_score(spark, sf_dir):
+    """Unigram language-model quality score (the CCNet/Dolma LM-filter
+    signal, rational form): per document, the mean corpus-unigram
+    probability of its tokens and its inverse ("rarity" — high = the
+    perplexity-like outlier side the LM filter drops). The statistic stays
+    in the INTEGER domain until one final divide — per-doc weight is
+    Σ tf·count(tok), an exact bigint — because transcendental log/exp can
+    differ in the last ulp between the JVM and the DuckDB oracle (same
+    device as doc_tfidf_topk's rational idf; production swaps in a real
+    KenLM logprob as a double column and this plan shape is unchanged).
+    Three bounded shuffles, all with map-side partial agg: (doc,tok)
+    counts, token totals FROM that aggregate (never raw occurrences, so
+    stopword skew is bounded), and the per-doc rollup; the grand total is
+    a broadcast 1-row aggregate."""
+    toks = T(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").cast("long").alias("tf"))
+    tf = _pooled_persist(tf)
+    vocab = tf.groupBy("tok").agg(F.sum("tf").cast("long").alias("cnt"))
+    tot = vocab.agg(F.sum("cnt").cast("long").alias("total"))
+    s = (
+        tf.join(vocab, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("cnt")).cast("long").alias("w"),
+        )
+    )
+    return s.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("w") / (F.col("n_tokens") * F.col("total")), 6)
+        .alias("mean_tok_prob"),
+        F.round((F.col("n_tokens") * F.col("total")) / F.col("w"), 4)
+        .alias("rarity"),
+    )
+
+
+@q(
     "corpus_sample_stratified",
     """
     WITH ranked AS (

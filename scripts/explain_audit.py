@@ -75,6 +75,9 @@ EXPECTATIONS = {
     "badwords_filter": ["ReadSchema: struct<doc_id:bigint,text:string>"],
     # license classification: codegen'd CASE/contains projection, map-only
     "license_detect": ["ReadSchema: struct<doc_id:bigint,text:string>"],
+    # unigram-LM score: every shuffle carries map-side partial agg and the
+    # token join is aggregate-to-aggregate; grand total broadcasts back
+    "doc_lm_score": ["HashAggregate", "BroadcastNestedLoopJoin"],
     # repetition score: both aggregations carry map-side partial agg
     "doc_repetition": [
         "HashAggregate",

@@ -71,6 +71,7 @@ FAST = [
     "robots_decision",
     "badwords_filter",
     "license_detect",
+    "doc_lm_score",
 ]
 
 
