@@ -72,6 +72,9 @@ FAST = [
     "badwords_filter",
     "license_detect",
     "doc_lm_score",
+    "text_normalize",
+    "anchor_text_index",
+    "cdx_revisit",
 ]
 
 
