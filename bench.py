@@ -70,6 +70,8 @@ BENCH_QUERIES = [
     "badwords_filter",
     "license_detect",
     "doc_lm_score",
+    "dedup_paragraph_chunks",
+    "host_quality_rollup",
 ]
 
 

@@ -2971,3 +2971,159 @@ def cdx_revisit(spark, sf_dir):
         (F.col("fetch_ts") > F.min("fetch_ts").over(w)).alias("is_revisit"),
         F.min("fetch_ts").over(w).alias("original_ts"),
     )
+
+
+_PARA_CHUNK = 32  # tokens per pseudo-paragraph chunk
+
+
+@q(
+    "dedup_paragraph_chunks",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, i,
+             md5(array_to_string(
+                 t[(i*{_PARA_CHUNK}+1):(i*{_PARA_CHUNK}+{_PARA_CHUNK})],
+                 ' ')) AS k
+      FROM toks,
+           UNNEST(generate_series(
+               0, CAST(ceil(len(t) / {_PARA_CHUNK}.0) AS BIGINT) - 1)) AS u(i)
+    ),
+    flagged AS (
+      SELECT doc_id,
+             row_number() OVER (PARTITION BY k ORDER BY doc_id, i) AS rn
+      FROM chunks
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS total_chunks,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS kept_chunks,
+           CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS dup_chunks
+    FROM flagged GROUP BY doc_id
+    """,
+)
+def dedup_paragraph_chunks(spark, sf_dir):
+    """Paragraph-granularity exact dedup (the RefinedWeb/Dolma paragraph
+    dedup shape, over deterministic fixed-width token chunks since the
+    synthetic corpus has no newline structure): each document is chunked
+    into consecutive 32-token pseudo-paragraphs; across the whole corpus
+    each distinct chunk's FIRST occurrence (lowest doc_id, then lowest
+    chunk index) survives and every later occurrence is a duplicate.
+    Returns per-document kept/dup chunk counts — the operator a pipeline
+    uses to rewrite documents with cross-doc boilerplate removed.
+
+    Scale design: chunking is pure codegen (split -> sequence -> transform
+    -> explode, no Python); only the 16-byte md5 of each chunk crosses the
+    wire, never chunk text, so the one window shuffle on the chunk key is
+    slim, and the per-key window partitions are tiny (duplicate
+    multiplicity), immune to doc-length skew. The per-doc rollup is a
+    second partial-agg shuffle on doc_id. At 100 TB both exchanges are
+    hash-balanced on high-cardinality keys. Reference analogue: results
+    dedup via seen set, /root/reference/persistent/main.rkt:37-67 (the
+    crawl-level seen semantics, here applied at sub-document granularity).
+    """
+    c = _PARA_CHUNK
+    d = T(spark, sf_dir, "documents")
+    chunks = (
+        d.select("doc_id", F.split("text", " ").alias("t"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.ceil(F.size("t") / F.lit(float(c))).cast("int")
+                        - F.lit(1),
+                    ),
+                    lambda i: F.struct(
+                        i.alias("i"),
+                        F.md5(
+                            F.array_join(
+                                F.slice(
+                                    F.col("t"), i * F.lit(c) + F.lit(1), c
+                                ),
+                                " ",
+                            )
+                        ).alias("k"),
+                    ),
+                )
+            ).alias("ch"),
+        )
+        .select("doc_id", F.col("ch.i").alias("i"), F.col("ch.k").alias("k"))
+    )
+    w = Window.partitionBy("k").orderBy("doc_id", "i")
+    flagged = chunks.withColumn("rn", F.row_number().over(w))
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("total_chunks"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("kept_chunks"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("dup_chunks"),
+    )
+
+
+_HOST_MIN_MEAN_TOKENS = 50  # keep a source only if mean doc length >= this
+_HOST_SHORT_TOKENS = 30  # a doc under this many tokens is "short"
+_HOST_SHORT_MAX_PCT = 20  # drop a source if > 20% of its docs are short
+
+
+@q(
+    "host_quality_rollup",
+    f"""
+    WITH d AS (
+      SELECT source, len(string_split(text, ' ')) AS ntok FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(ntok) AS BIGINT) AS total_tokens,
+           CAST(sum(CASE WHEN ntok < {_HOST_SHORT_TOKENS} THEN 1 ELSE 0 END)
+               AS BIGINT) AS short_docs,
+           (sum(ntok) >= count(*) * {_HOST_MIN_MEAN_TOKENS}
+            AND sum(CASE WHEN ntok < {_HOST_SHORT_TOKENS} THEN 1 ELSE 0 END)
+                * 100 <= count(*) * {_HOST_SHORT_MAX_PCT}) AS keep
+    FROM d GROUP BY source
+    """,
+)
+def host_quality_rollup(spark, sf_dir):
+    """Domain-level quality rollup and keep/drop decision (the UT1-style /
+    Gopher domain-filter stage: curation decisions made per HOST, not per
+    document, so one spammy mirror farm is cut with one rule): per source
+    domain, document count, total token mass, short-document count, and an
+    integer-domain keep decision (mean doc length >= 50 tokens AND <= 20%
+    short docs) — cross-multiplied comparisons so no float division enters
+    the oracle hash.
+
+    Scale design: the per-doc token count is codegen'd scan-side
+    (split -> size, no Python), then ONE partial-agg shuffle on the domain
+    key; at 10^8 hosts the key is high-cardinality and the map-side combine
+    collapses each partition to one row per host before the exchange. The
+    keep decision is a post-agg projection. Skew note: a mega-host doesn't
+    skew this — partial agg bounds any single host's shuffle contribution
+    to one row per map task."""
+    d = T(spark, sf_dir, "documents")
+    ntok = F.size(F.split("text", " "))
+    agg = d.select("source", ntok.alias("ntok")).groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("ntok").cast("long").alias("total_tokens"),
+        F.sum(F.when(F.col("ntok") < _HOST_SHORT_TOKENS, 1).otherwise(0))
+        .cast("long")
+        .alias("short_docs"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        "short_docs",
+        (
+            (F.col("total_tokens") >= F.col("n_docs") * _HOST_MIN_MEAN_TOKENS)
+            & (
+                F.col("short_docs") * 100
+                <= F.col("n_docs") * _HOST_SHORT_MAX_PCT
+            )
+        ).alias("keep"),
+    )

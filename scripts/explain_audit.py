@@ -78,6 +78,16 @@ EXPECTATIONS = {
     # unigram-LM score: every shuffle carries map-side partial agg and the
     # token join is aggregate-to-aggregate; grand total broadcasts back
     "doc_lm_score": ["HashAggregate", "BroadcastNestedLoopJoin"],
+    # paragraph-chunk dedup: chunking + md5 are codegen'd (no Python stage);
+    # the first-occurrence window shuffles on the 16-byte chunk hash k,
+    # never on chunk text; per-doc rollup carries partial agg
+    "dedup_paragraph_chunks": ["md5(", "hashpartitioning(k#", "Window"],
+    # host rollup: two-column pruned scan, one partial-agg shuffle on the
+    # domain key; keep decision is a post-agg projection
+    "host_quality_rollup": [
+        "HashAggregate",
+        "ReadSchema: struct<text:string,source:string>",
+    ],
     # repetition score: both aggregations carry map-side partial agg
     "doc_repetition": [
         "HashAggregate",
@@ -173,6 +183,15 @@ FORBIDDEN = {
     # a global window (no partition key) would funnel every capture
     # through one task
     "cdx_revisit": ["SinglePartition"],
+    # chunking must stay codegen'd — a Python stage or a global window
+    # would put the chunk fan-out on the slow path
+    "dedup_paragraph_chunks": [
+        "ArrowEvalPython",
+        "BatchEvalPython",
+        "SinglePartition",
+    ],
+    # host rollup is scan + one keyed exchange; no Python anywhere
+    "host_quality_rollup": ["ArrowEvalPython", "BatchEvalPython"],
 }
 
 

@@ -75,6 +75,8 @@ FAST = [
     "text_normalize",
     "anchor_text_index",
     "cdx_revisit",
+    "dedup_paragraph_chunks",
+    "host_quality_rollup",
 ]
 
 
