@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "doc_lm_score",
     "dedup_paragraph_chunks",
     "host_quality_rollup",
+    "sitemap_discovery",
 ]
 
 

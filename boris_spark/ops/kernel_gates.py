@@ -408,3 +408,73 @@ def robots_decision_gate(spark, sf_dir):
         .unionByName(blocked.withColumn("allowed", F.lit(False)))
         .select("o_orderkey", "url_canon", "allowed")
     )
+
+
+@q(
+    "sitemap_discovery",
+    """
+    SELECT o_orderkey,
+           'shop' || (o_orderkey % 5) || '.test' AS host,
+           'http://shop' || (o_orderkey % 5) || '.test/sitemap'
+               || (o_orderkey % 3) || '.xml' AS sitemap_url
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey, 'shop' || (o_orderkey % 5) || '.test',
+           'http://shop' || (o_orderkey % 5) || '.test/maps/rel'
+               || (o_orderkey % 2) || '.xml'
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey, 'shop' || (o_orderkey % 5) || '.test',
+           'http://mirror.test/shared.xml'
+    FROM orders
+    """,
+)
+def sitemap_discovery(spark, sf_dir):
+    """Sitemap discovery from robots.txt ``Sitemap:`` directives (the
+    sitemaps.org robots-inclusion protocol; the reference's frontier
+    seeding consumes the discovered inventory via ``seed_frontier``,
+    sources/sitemap.py): per host, every Sitemap directive in the robots
+    body — case-insensitive key, optional whitespace, absolute kept as-is
+    and relative resolved against the host origin — emitted as
+    (host, sitemap_url) rows ready for the sitemap source's bounded index
+    recursion. The fixture robots bodies are synthesized closed-form from
+    orders keys with three directive spellings (canonical, lowercase
+    relative, no-space uppercase); the oracle enumerates the expected rows
+    independently, sharing no parse code with the query.
+
+    Scale design: discovery is a map-only codegen pass over robots bodies
+    the crawl already fetched — a multiline ``regexp_extract_all`` +
+    explode scan-side projection, no Python stage, no shuffle (the
+    per-host dedup that follows in seed_frontier shuffles slim
+    (host, url) rows only). At 10^8 hosts this is the same single pass
+    that parses Allow/Disallow (engine/robots.py robots_frames); plan
+    audit forbids any Exchange or Python stage (no ``_orders_keyed``
+    repartition here — there is no Python CPU stage to spread, so the
+    whole gate is scan → project → explode inside one codegen span)."""
+    o = T(spark, sf_dir, "orders").select("o_orderkey")
+    k = F.col("o_orderkey")
+    host = F.concat(F.lit("shop"), (k % 5).cast("string"), F.lit(".test"))
+    body = F.concat(
+        F.lit("# synthetic robots\nUser-agent: *\nDisallow: /priv\n"),
+        F.lit("Sitemap: http://"), host, F.lit("/sitemap"),
+        (k % 3).cast("string"), F.lit(".xml\n"),
+        F.lit("sitemap: /maps/rel"), (k % 2).cast("string"),
+        F.lit(".xml  \n"),
+        F.lit("SITEMAP:http://mirror.test/shared.xml\nDisallow: /other\n"),
+    )
+    sm = o.select(
+        "o_orderkey",
+        host.alias("host"),
+        F.explode(
+            F.regexp_extract_all(
+                body, F.lit(r"(?im)^[ \t]*sitemap[ \t]*:[ \t]*(\S+)"), 1
+            )
+        ).alias("raw"),
+    )
+    return sm.select(
+        "o_orderkey",
+        "host",
+        F.when(F.col("raw").startswith("http"), F.col("raw"))
+        .otherwise(F.concat(F.lit("http://"), F.col("host"), F.col("raw")))
+        .alias("sitemap_url"),
+    )

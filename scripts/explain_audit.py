@@ -88,6 +88,8 @@ EXPECTATIONS = {
         "HashAggregate",
         "ReadSchema: struct<text:string,source:string>",
     ],
+    # sitemap discovery: codegen'd multiline regexp + explode, map-only
+    "sitemap_discovery": ["explode(regexp_extract_all(", "Generate"],
     # repetition score: both aggregations carry map-side partial agg
     "doc_repetition": [
         "HashAggregate",
@@ -192,6 +194,9 @@ FORBIDDEN = {
     ],
     # host rollup is scan + one keyed exchange; no Python anywhere
     "host_quality_rollup": ["ArrowEvalPython", "BatchEvalPython"],
+    # sitemap discovery is a pure scan-side projection: any exchange or
+    # Python stage means the codegen'd parse fell off the map-only path
+    "sitemap_discovery": ["Exchange", "ArrowEvalPython", "BatchEvalPython"],
 }
 
 

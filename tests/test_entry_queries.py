@@ -77,6 +77,7 @@ FAST = [
     "cdx_revisit",
     "dedup_paragraph_chunks",
     "host_quality_rollup",
+    "sitemap_discovery",
 ]
 
 
