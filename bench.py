@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "dedup_paragraph_chunks",
     "host_quality_rollup",
     "sitemap_discovery",
+    "crawl_snapshot_diff",
 ]
 
 

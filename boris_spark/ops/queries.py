@@ -3127,3 +3127,68 @@ def host_quality_rollup(spark, sf_dir):
             )
         ).alias("keep"),
     )
+
+
+@q(
+    "crawl_snapshot_diff",
+    """
+    SELECT 'http://s' || (doc_id % 20) || '.test/p/' || doc_id AS url,
+           CASE
+             WHEN doc_id % 13 = 0 THEN 'added'
+             WHEN doc_id % 11 = 3 THEN 'removed'
+             WHEN doc_id % 7 = 0 THEN 'modified'
+             ELSE 'unchanged'
+           END AS change
+    FROM documents
+    WHERE NOT (doc_id % 13 = 0 AND doc_id % 11 = 3)
+    """,
+)
+def crawl_snapshot_diff(spark, sf_dir):
+    """Crawl snapshot diffing (the freshness family's third leg next to
+    recrawl_schedule and cdx_revisit; what a monthly-crawl pipeline
+    computes between generation N and N+1): full-outer join of two capture
+    generations on url, classifying each URL as added (new only), removed
+    (old only), modified (both, payload digest differs) or unchanged. The
+    two generations are synthesized closed-form from `documents` (old
+    misses doc_id%13==0, new misses doc_id%11==3, every doc_id%7==0
+    changed payload), and the oracle classifies each doc_id directly from
+    those modular conditions — it never runs a join, so the distributed
+    diff is tested against independent logic.
+
+    Scale design: the diff is ONE full-outer sort-merge join keyed on url
+    — both generations shuffle once on the same key (at 10^10 captures
+    per generation this is the unavoidable co-location; bucketed capture
+    tables written by `cdx_index`'s range-exchange layout make it
+    shuffle-free on a real deployment). Digests are scan-side sha2
+    projections; only (url, 32-byte digest) rows cross the wire, never
+    payloads. Classification is a codegen'd post-join CASE."""
+    d = T(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("http://s"),
+        F.pmod("doc_id", F.lit(20)).cast("string"),
+        F.lit(".test/p/"),
+        F.col("doc_id").cast("string"),
+    ).alias("url")
+    old = d.filter(F.pmod("doc_id", F.lit(13)) != 0).select(
+        url, F.sha2(F.concat("text", F.lit("|v0")), 256).alias("old_digest")
+    )
+    new = d.filter(F.pmod("doc_id", F.lit(11)) != 3).select(
+        url,
+        F.sha2(
+            F.concat(
+                "text",
+                F.when(F.pmod("doc_id", F.lit(7)) == 0, F.lit("|v1"))
+                .otherwise(F.lit("|v0")),
+            ),
+            256,
+        ).alias("new_digest"),
+    )
+    j = old.join(new, "url", "full_outer")
+    return j.select(
+        "url",
+        F.when(F.col("old_digest").isNull(), F.lit("added"))
+        .when(F.col("new_digest").isNull(), F.lit("removed"))
+        .when(F.col("old_digest") != F.col("new_digest"), F.lit("modified"))
+        .otherwise(F.lit("unchanged"))
+        .alias("change"),
+    )

@@ -90,6 +90,9 @@ EXPECTATIONS = {
     ],
     # sitemap discovery: codegen'd multiline regexp + explode, map-only
     "sitemap_discovery": ["explode(regexp_extract_all(", "Generate"],
+    # snapshot diff: one full-outer sort-merge join on url; digests are
+    # scan-side sha2 projections (payloads never cross the wire)
+    "crawl_snapshot_diff": ["SortMergeJoin", "FullOuter", "sha2("],
     # repetition score: both aggregations carry map-side partial agg
     "doc_repetition": [
         "HashAggregate",
@@ -197,6 +200,8 @@ FORBIDDEN = {
     # sitemap discovery is a pure scan-side projection: any exchange or
     # Python stage means the codegen'd parse fell off the map-only path
     "sitemap_discovery": ["Exchange", "ArrowEvalPython", "BatchEvalPython"],
+    # the diff must stay JVM-side
+    "crawl_snapshot_diff": ["ArrowEvalPython", "BatchEvalPython"],
 }
 
 

@@ -78,6 +78,7 @@ FAST = [
     "dedup_paragraph_chunks",
     "host_quality_rollup",
     "sitemap_discovery",
+    "crawl_snapshot_diff",
 ]
 
 
