@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "host_quality_rollup",
     "sitemap_discovery",
     "crawl_snapshot_diff",
+    "corpus_shard_shuffle",
 ]
 
 

@@ -3192,3 +3192,71 @@ def crawl_snapshot_diff(spark, sf_dir):
         .otherwise(F.lit("unchanged"))
         .alias("change"),
     )
+
+
+_SHUF_SALT = "shuf42|"
+_SHUF_SHARDS = 8  # the knob bounding per-shard sort size (corpus/W rows)
+
+
+@q(
+    "corpus_shard_shuffle",
+    f"""
+    WITH h AS (
+      SELECT doc_id,
+             md5('{_SHUF_SALT}' || CAST(doc_id AS VARCHAR)) AS hk
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, hk,
+             ((strpos('0123456789abcdef', substr(hk, 1, 1)) - 1) * 16
+              + strpos('0123456789abcdef', substr(hk, 2, 1)) - 1)
+             % {_SHUF_SHARDS} AS shard
+      FROM h
+    )
+    SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+           CAST(row_number() OVER (
+               PARTITION BY shard ORDER BY hk, doc_id) AS BIGINT) AS pos
+    FROM s
+    """,
+)
+def corpus_shard_shuffle(spark, sf_dir):
+    """Deterministic global shuffle + shard assignment for training-data
+    ordering (the pipeline step between curation and the trainer: examples
+    must arrive in a reproducible pseudo-random order, sharded into W
+    output files): each doc gets an md5 order key over a salted doc_id,
+    a shard from the key's leading byte, and its position within the
+    shard's key-sorted order. Seeded by the salt — changing it re-shuffles
+    reproducibly. The oracle recomputes key/shard/position with DuckDB's
+    own md5/strpos/window — independent execution of the same definition.
+
+    Scale design: one hash exchange on shard, then a per-shard sort for
+    row_number. W is the scale knob: production sets W = corpus_size /
+    shard_size (10^5 shards for 10^10 docs), so each shard's window sorts
+    a bounded ~shard_size rows with external sort as the backstop — the
+    same bounded-bucket device as pack_sequences; the plan audit forbids
+    a SinglePartition global window. Hex-digit arithmetic (strpos over the
+    md5 hex string) keeps shard derivation engine-portable and codegen'd
+    — no UDF, no non-portable hash()."""
+    d = T(spark, sf_dir, "documents")
+    hk = F.md5(F.concat(F.lit(_SHUF_SALT), F.col("doc_id").cast("string")))
+
+    def hex_digit(i):
+        # value of the i-th (1-based) hex char of the order key
+        return F.expr(
+            f"locate(substr(md5(concat('{_SHUF_SALT}', "
+            f"cast(doc_id as string))), {i}, 1), '0123456789abcdef') - 1"
+        )
+
+    s = d.select(
+        "doc_id",
+        hk.alias("hk"),
+        ((hex_digit(1) * 16 + hex_digit(2)) % _SHUF_SHARDS)
+        .cast("long")
+        .alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("hk", "doc_id")
+    return s.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).cast("long").alias("pos"),
+    )

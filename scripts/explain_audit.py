@@ -93,6 +93,9 @@ EXPECTATIONS = {
     # snapshot diff: one full-outer sort-merge join on url; digests are
     # scan-side sha2 projections (payloads never cross the wire)
     "crawl_snapshot_diff": ["SortMergeJoin", "FullOuter", "sha2("],
+    # shard shuffle: md5 order key + hex-digit shard are codegen'd
+    # projections; ONE hash exchange on the shard key feeds the window
+    "corpus_shard_shuffle": ["md5(", "hashpartitioning(shard#", "Window"],
     # repetition score: both aggregations carry map-side partial agg
     "doc_repetition": [
         "HashAggregate",
@@ -202,6 +205,13 @@ FORBIDDEN = {
     "sitemap_discovery": ["Exchange", "ArrowEvalPython", "BatchEvalPython"],
     # the diff must stay JVM-side
     "crawl_snapshot_diff": ["ArrowEvalPython", "BatchEvalPython"],
+    # a global (partition-less) window would sort the whole corpus in one
+    # task; Python stages would take the hash off the codegen path
+    "corpus_shard_shuffle": [
+        "SinglePartition",
+        "ArrowEvalPython",
+        "BatchEvalPython",
+    ],
 }
 
 

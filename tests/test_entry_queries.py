@@ -79,6 +79,7 @@ FAST = [
     "host_quality_rollup",
     "sitemap_discovery",
     "crawl_snapshot_diff",
+    "corpus_shard_shuffle",
 ]
 
 
