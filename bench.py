@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "sitemap_discovery",
     "crawl_snapshot_diff",
     "corpus_shard_shuffle",
+    "host_graph_components",
 ]
 
 

@@ -3260,3 +3260,59 @@ def corpus_shard_shuffle(spark, sf_dir):
         "shard",
         F.row_number().over(w).cast("long").alias("pos"),
     )
+
+
+_HGC_HOSTS = 60  # synthetic host count; +12 mod 60 cycle → 12 components
+
+
+@q(
+    "host_graph_components",
+    f"""
+    WITH h AS (
+      SELECT DISTINCT doc_id % {_HGC_HOSTS} AS hid FROM documents
+    )
+    SELECT 'h' || hid || '.docs.test' AS host,
+           'h' || (hid % 12) || '.docs.test' AS component
+    FROM h
+    """,
+)
+def host_graph_components(spark, sf_dir):
+    """Host-graph connected components (mirror-cluster / link-farm
+    detection: the domain-level grouping a curation pipeline applies
+    before host_quality_rollup so one verdict covers a whole mirror ring):
+    runs the same alternating large-star/small-star components
+    (:func:`connected_components`, Kiveris et al. SoCC'14) used for
+    near-dup clusters, here over a host-level link graph. The gate graph
+    is a closed-form cyclic synthesis — host i links to (i+12) mod 60, so
+    the 60 hosts split into exactly the 12 residue classes mod 12 and each
+    component's canonical (minimum) host is its residue — which the oracle
+    states with pure modular arithmetic, no recursive CTE and no shared
+    traversal code.
+
+    Scale design: identical to dedup_clusters — O(log² n) rounds of two
+    slim groupBy-min shuffles, per-round lineage truncation via
+    localCheckpoint (df.checkpoint() on a real cluster), no component's
+    edge list ever in one task, driver sees only convergence counts. The
+    production edge list is host_graph_edges' rollup output (10^8 hosts →
+    edges are the slim post-aggregation pairs, not page-level links)."""
+    d = T(spark, sf_dir, "documents")
+    hid = F.pmod("doc_id", F.lit(_HGC_HOSTS))
+    edges = (
+        d.select(
+            hid.cast("long").alias("a"),
+            F.pmod(hid + F.lit(12), F.lit(_HGC_HOSTS)).cast("long").alias("b"),
+        )
+        .distinct()
+    )
+    cc = connected_components(edges)
+    nodes = d.select(hid.cast("long").alias("a")).distinct()
+    comp = nodes.join(cc, "a", "left").select(
+        "a", F.coalesce("b", "a").alias("comp")
+    )
+    return comp.select(
+        F.concat(F.lit("h"), F.col("a").cast("string"), F.lit(".docs.test"))
+        .alias("host"),
+        F.concat(
+            F.lit("h"), F.col("comp").cast("string"), F.lit(".docs.test")
+        ).alias("component"),
+    )

@@ -96,6 +96,9 @@ EXPECTATIONS = {
     # shard shuffle: md5 order key + hex-digit shard are codegen'd
     # projections; ONE hash exchange on the shard key feeds the window
     "corpus_shard_shuffle": ["md5(", "hashpartitioning(shard#", "Window"],
+    # host CC: converged label frame is a checkpointed RDD scan (lineage
+    # truncated per round — the iterative-plan requirement)
+    "host_graph_components": ["Scan ExistingRDD", "HashAggregate"],
     # repetition score: both aggregations carry map-side partial agg
     "doc_repetition": [
         "HashAggregate",

@@ -80,6 +80,7 @@ FAST = [
     "sitemap_discovery",
     "crawl_snapshot_diff",
     "corpus_shard_shuffle",
+    "host_graph_components",
 ]
 
 
