@@ -76,6 +76,10 @@ BENCH_QUERIES = [
     "crawl_snapshot_diff",
     "corpus_shard_shuffle",
     "host_graph_components",
+    "compact_plan",
+    "charset_sniff",
+    "soft404_detect",
+    "url_template_mine",
 ]
 
 

@@ -3316,3 +3316,339 @@ def host_graph_components(spark, sf_dir):
             F.lit("h"), F.col("comp").cast("string"), F.lit(".docs.test")
         ).alias("component"),
     )
+
+
+# =====================================================================
+# Table-maintenance + ingest-hygiene gates (#75-78): compaction planning
+# (the Iceberg rewrite_data_files step), charset sniffing, soft-404
+# detection, URL-template mining.
+# =====================================================================
+
+_COMPACT_PARTS = 16          # table partitions (host buckets at scale)
+_COMPACT_TARGET = 64_000     # target bytes per rewritten file group
+_COMPACT_OVERHEAD = 1_024    # per-file parquet footer/metadata overhead
+
+
+@q(
+    "compact_plan",
+    f"""
+    WITH files AS (
+      SELECT doc_id AS file_id,
+             doc_id % {_COMPACT_PARTS} AS part,
+             n_chars + {_COMPACT_OVERHEAD} AS bytes
+      FROM documents
+    ),
+    c AS (
+      SELECT file_id, part, bytes,
+             COALESCE(SUM(bytes) OVER (
+               PARTITION BY part ORDER BY file_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS cum_before
+      FROM files
+    )
+    SELECT CAST(part AS BIGINT) AS part,
+           CAST(file_id AS BIGINT) AS file_id,
+           CAST(bytes AS BIGINT) AS bytes,
+           CAST(cum_before // {_COMPACT_TARGET} AS BIGINT) AS grp
+    FROM c
+    """,
+)
+def compact_plan(spark, sf_dir):
+    """Small-file compaction planner — the Iceberg
+    ``rewrite_data_files(strategy => 'binpack')`` planning step a
+    long-running crawl table needs continuously (every crawl round's
+    fast-append adopts many small files; read amplification grows until a
+    maintenance pass bin-packs them into ~target-size groups). The file
+    inventory is derived closed-form from ``documents`` (one data file per
+    doc, bytes = n_chars + footer overhead, partition = doc_id mod
+    {_COMPACT_PARTS}); the planner assigns each file, in deterministic
+    file_id order within its partition, to rewrite group
+    floor(cumulative_bytes_before / {_COMPACT_TARGET}) — the same
+    first-fit-in-scan-order grouping Iceberg's binpack rewrite computes
+    from manifest metadata.
+
+    Scale design: planning touches FILE METADATA only (path, partition,
+    bytes — the manifest rows), never data: a 10-PB table is ~10^7
+    manifest rows, trivially shuffled. One hash exchange on the partition
+    key + a per-partition running-sum window; partition count grows with
+    the table so no window sees unbounded rows, and the plan audit forbids
+    a SinglePartition global sort. Each output group is then an
+    independent rewrite task (read group, write one file, one Iceberg
+    commit swapping them) — embarrassingly parallel downstream.
+    Reference analogue: the fs-dict store never compacts
+    (/root/reference/persistent/main.rkt stores one file per key), which
+    is exactly what breaks at 10^10 URLs."""
+    d = T(spark, sf_dir, "documents")
+    files = d.select(
+        F.col("doc_id").alias("file_id"),
+        F.pmod("doc_id", F.lit(_COMPACT_PARTS)).cast("long").alias("part"),
+        (F.col("n_chars") + F.lit(_COMPACT_OVERHEAD)).cast("long").alias("bytes"),
+    )
+    w = (
+        Window.partitionBy("part")
+        .orderBy("file_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return files.select(
+        "part",
+        "file_id",
+        "bytes",
+        F.floor(
+            F.coalesce(F.sum("bytes").over(w), F.lit(0)) / _COMPACT_TARGET
+        ).cast("long").alias("grp"),
+    )
+
+
+# Charset sniffing: the detector's precedence is meta-charset first (HTML5
+# §4.2.5.4 prescan), then the XML-declaration encoding, else the UTF-8
+# default. The synthetic head exercises double-quoted meta, unquoted
+# http-equiv, xml-decl-only, none, and a conflict case (meta wins).
+_CHARSET_CASE = """
+    CASE CAST({id} % 5 AS BIGINT)
+      WHEN 0 THEN '<head><meta charset="ISO-8859-1"><title>t</title></head>'
+      WHEN 1 THEN '<head><meta http-equiv=Content-Type'
+                  || ' content="text/html; charset=Windows-1252"></head>'
+      WHEN 2 THEN '<?xml version="1.0" encoding="UTF-16"?><head></head>'
+      WHEN 3 THEN '<head><title>plain</title></head>'
+      ELSE '<?xml version="1.0" encoding="UTF-16"?>'
+           || '<head><meta charset="KOI8-R"></head>'
+    END
+"""
+# (?i): the HTML5 prescan is case-insensitive (<META CHARSET=...> is
+# valid); supported identically by Java regex (Spark) and RE2 (DuckDB).
+# \x27 is the single quote — spelled as a hex escape (again valid in both
+# engines) so the pattern can be embedded in a single-quoted SQL literal.
+_CHARSET_META_RE = '(?i)charset=["\\x27]?([A-Za-z0-9_-]+)'
+_CHARSET_XML_RE = '(?i)encoding=["\\x27]([A-Za-z0-9_-]+)'
+
+
+def charset_sniff_cols(head):
+    """(charset, via) detector expressions over a head-string column —
+    shared by the gate and the hand-written-fixture tests so fixture bytes
+    exercise the exact production regexes/precedence."""
+    meta_cs = F.regexp_extract(head, _CHARSET_META_RE, 1)
+    xml_cs = F.regexp_extract(head, _CHARSET_XML_RE, 1)
+    charset = (
+        F.when(meta_cs != "", F.lower(meta_cs))
+        .when(xml_cs != "", F.lower(xml_cs))
+        .otherwise("utf-8")
+        .alias("charset")
+    )
+    via = (
+        F.when(meta_cs != "", "meta")
+        .when(xml_cs != "", "xmldecl")
+        .otherwise("default")
+        .alias("via")
+    )
+    return charset, via
+
+
+@q(
+    "charset_sniff",
+    f"""
+    WITH pages AS (
+      SELECT doc_id, {_CHARSET_CASE.format(id="doc_id")} AS head
+      FROM documents
+    ),
+    sniff AS (
+      SELECT doc_id, head,
+             regexp_extract(head, '{_CHARSET_META_RE}', 1) AS meta_cs,
+             regexp_extract(head, '{_CHARSET_XML_RE}', 1) AS xml_cs
+      FROM pages
+    )
+    SELECT doc_id,
+           CASE WHEN meta_cs <> '' THEN lower(meta_cs)
+                WHEN xml_cs <> '' THEN lower(xml_cs)
+                ELSE 'utf-8' END AS charset,
+           CASE WHEN meta_cs <> '' THEN 'meta'
+                WHEN xml_cs <> '' THEN 'xmldecl'
+                ELSE 'default' END AS via
+    FROM sniff
+    """,
+)
+def charset_sniff(spark, sf_dir):
+    """Charset sniffing at ingest — the decode step between a WARC's raw
+    ``html:binary`` and the ``text:string`` column (input_hint schema):
+    real crawl payloads declare their encoding in-band, and a distributed
+    pipeline must sniff it per-page before transcoding to UTF-8. Detector
+    precedence (HTML5 prescan subset): ``<meta charset=...>`` (quoted or
+    bare) first, XML-declaration ``encoding="..."`` second, UTF-8 default
+    last; names lowercased. The synthetic head column covers all three
+    sources plus a conflict case where meta must beat the xml-decl.
+    Hand-written fixture bytes flow through the same regexes in
+    tests/test_ingest_gates.py (the shared-bug mitigation the sitemap gate
+    set the precedent for).
+
+    Scale design: two codegen'd regexp_extracts + a CASE — zero shuffles,
+    zero UDFs, runs at scan speed inside WholeStageCodegen next to the
+    WARC read; the transcode itself (chardet fallback for undeclared
+    legacy pages) would be the only Arrow-batch hop."""
+    d = T(spark, sf_dir, "documents")
+    head = F.expr(_CHARSET_CASE.format(id="doc_id"))
+    charset, via = charset_sniff_cols(head)
+    return d.select("doc_id", charset, via)
+
+
+# Soft-404 phrases (lowercased substring match) — the standard heuristic
+# list; short-content threshold in tokens.
+_SOFT404_PHRASES = ("page not found", "no longer available", "error 404")
+_SOFT404_MIN_TOKENS = 5
+# ~1% of fetches in the synthetic crawl come back as soft 404s: an origin
+# that answers HTTP 200 with an error body.
+_SOFT404_BODY = "Error 404 - page not found. This page is no longer available."
+
+
+def soft404_verdict_col(body):
+    """Verdict expression ('phrase' | 'short' | 'ok') over a body column —
+    shared by the gate and hand-written-fixture tests."""
+    lb = F.lower(body)
+    phrase = None
+    for p in _SOFT404_PHRASES:
+        c = F.contains(lb, F.lit(p))
+        phrase = c if phrase is None else (phrase | c)
+    return (
+        F.when(phrase, "phrase")
+        .when(F.size(F.split(body, " ")) < _SOFT404_MIN_TOKENS, "short")
+        .otherwise("ok")
+        .alias("verdict")
+    )
+
+
+@q(
+    "soft404_detect",
+    f"""
+    WITH fetched AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 97 = 0 THEN '{_SOFT404_BODY}'
+                  ELSE text END AS body
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, body, lower(body) AS lb,
+             len(string_split(body, ' ')) AS n_tok
+      FROM fetched
+    )
+    SELECT doc_id,
+           CASE
+             WHEN {" OR ".join(f"contains(lb, '{p}')" for p in _SOFT404_PHRASES)}
+               THEN 'phrase'
+             WHEN n_tok < {_SOFT404_MIN_TOKENS} THEN 'short'
+             ELSE 'ok'
+           END AS verdict
+    FROM f
+    """,
+)
+def soft404_detect(spark, sf_dir):
+    """Soft-404 detection: pages served with HTTP 200 whose BODY is an
+    error page ("page not found" phrases, or near-empty content) — the
+    crawl-hygiene filter that keeps dead pages out of the corpus and out
+    of the recrawl schedule (a soft-404 that looks like content gets
+    recrawled forever). The synthetic fetch layer turns every 97th doc
+    into a canned error body, modeling the ~1% soft-404 rate of a real
+    crawl; the detector is a lowercased phrase match over the standard
+    heuristic list plus a minimum-token threshold. Verdict per doc:
+    'phrase' | 'short' | 'ok'.
+
+    Scale design: pure JVM string predicates (contains + split-length)
+    inside WholeStageCodegen — zero shuffles, scan-speed, pushes through
+    the same pass as quality_score/lang_id so curation reads the corpus
+    once. The production variant adds a per-HOST error-template check
+    (cluster identical bodies per host via dedup_exact's hash-groupBy) —
+    composition of gates that already exist."""
+    d = T(spark, sf_dir, "documents")
+    body = F.when(
+        F.pmod("doc_id", F.lit(97)) == 0, F.lit(_SOFT404_BODY)
+    ).otherwise(F.col("text"))
+    return d.select("doc_id", soft404_verdict_col(body))
+
+
+_TMPL_SPAM_MIN = 400  # distinct URLs above which a {hex}-bearing template
+                      # is an unbounded-URL-space crawler trap
+
+
+def url_template_col(url):
+    """Structural-template expression (digit runs → ``(d)``, 32-hex tokens
+    → ``(hex)``) — shared by the gate and hand-written-fixture tests."""
+    return F.regexp_replace(
+        F.regexp_replace(url, F.lit("[0-9a-f]{32}"), F.lit("(hex)")),
+        F.lit("[0-9]+"),
+        F.lit("(d)"),
+    ).alias("template")
+
+
+@q(
+    "url_template_mine",
+    f"""
+    WITH urls AS (
+      SELECT 'http://h' || (o_orderkey % 50) || '.shop.test/' ||
+             CASE CAST(o_orderkey % 3 AS BIGINT)
+               WHEN 0 THEN 'product/' || o_orderkey
+               WHEN 1 THEN 'search?q=item&page=' || (o_orderkey % 20)
+               ELSE 'session/' || md5(CAST(o_orderkey AS VARCHAR))
+             END AS url
+      FROM orders
+    ),
+    t AS (
+      SELECT regexp_replace(
+               regexp_replace(url, '[0-9a-f]{{32}}', '(hex)', 'g'),
+               '[0-9]+', '(d)', 'g') AS template,
+             url
+      FROM urls
+    )
+    SELECT template,
+           CAST(count(DISTINCT url) AS BIGINT) AS n_urls,
+           (count(DISTINCT url) > {_TMPL_SPAM_MIN}
+            AND contains(template, '(hex)')) AS trap
+    FROM t
+    GROUP BY template
+    """,
+)
+def url_template_mine(spark, sf_dir):
+    """URL-template mining: collapse a frontier's URLs to structural
+    templates (digit runs → ``(d)``, 32-hex tokens → ``(hex)``) and count
+    distinct URLs per template — the scheduler-side defense against
+    session-id URL spam, where one handler generates an unbounded URL
+    space and eats the crawl budget (complements crawl_trap_hosts, which
+    fires on path shape per-host; this fires on corpus-wide template
+    cardinality). A template with > {_TMPL_SPAM_MIN} distinct URLs AND a
+    hex token is flagged ``trap``. The synthetic frontier derives three
+    handler shapes from orders closed-form: item pages (bounded),
+    paginated search (20 pages), and md5 session URLs (unbounded — the
+    trap).
+
+    Scale design: two codegen'd regexp_replaces, then ONE aggregation
+    shuffle keyed on template with map-side partial count-distinct
+    (templates are few — the whole point of templating — so the
+    post-shuffle side is tiny even at 10^10 URLs; a skewed mega-template
+    is exactly a near-constant key, which partial aggregation absorbs
+    before the exchange)."""
+    o = T(spark, sf_dir, "orders")
+    url = F.concat(
+        F.lit("http://h"),
+        F.pmod("o_orderkey", F.lit(50)).cast("string"),
+        F.lit(".shop.test/"),
+        F.when(
+            F.pmod("o_orderkey", F.lit(3)) == 0,
+            F.concat(F.lit("product/"), F.col("o_orderkey").cast("string")),
+        )
+        .when(
+            F.pmod("o_orderkey", F.lit(3)) == 1,
+            F.concat(
+                F.lit("search?q=item&page="),
+                F.pmod("o_orderkey", F.lit(20)).cast("string"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("session/"), F.md5(F.col("o_orderkey").cast("string"))
+            )
+        ),
+    )
+    t = o.select(url_template_col(url), url.alias("url"))
+    return t.groupBy("template").agg(
+        F.countDistinct("url").cast("long").alias("n_urls"),
+        (
+            (F.countDistinct("url") > _TMPL_SPAM_MIN)
+            & F.contains(F.col("template"), F.lit("(hex)"))
+        ).alias("trap"),
+    )

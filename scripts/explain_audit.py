@@ -168,6 +168,18 @@ EXPECTATIONS = {
     # revisit detection: one window shuffle keyed on the URL digest pair —
     # per-task state is one page's captures, never a host's
     "cdx_revisit": ["Window", "hashpartitioning(surt"],
+    # compaction planner: manifest-only scan (three pruned columns), one
+    # hash exchange on the partition key feeding the running-sum window
+    "compact_plan": [
+        "Window",
+        "hashpartitioning(part#",
+        "ReadSchema: struct<doc_id:bigint,n_chars:bigint>",
+    ],
+    # charset sniff + soft-404: codegen'd regex/CASE projections, map-only
+    "charset_sniff": ["Project", "ReadSchema: struct<doc_id:bigint>"],
+    "soft404_detect": ["Project", "ReadSchema: struct<doc_id:bigint,text:string>"],
+    # template mining: ONE partial-agg shuffle keyed on the template
+    "url_template_mine": ["HashAggregate", "hashpartitioning(template#"],
 }
 
 # query → substrings that must NOT appear (the round-1 defect signatures)
@@ -215,6 +227,13 @@ FORBIDDEN = {
         "ArrowEvalPython",
         "BatchEvalPython",
     ],
+    # a partition-less window would plan the whole manifest through one
+    # task — the exact failure the per-partition planner exists to avoid
+    "compact_plan": ["SinglePartition", "ArrowEvalPython", "BatchEvalPython"],
+    # sniffing and soft-404 are scan-speed map-only passes
+    "charset_sniff": ["Exchange", "ArrowEvalPython", "BatchEvalPython"],
+    "soft404_detect": ["Exchange", "ArrowEvalPython", "BatchEvalPython"],
+    "url_template_mine": ["ArrowEvalPython", "BatchEvalPython"],
 }
 
 

@@ -81,6 +81,10 @@ FAST = [
     "crawl_snapshot_diff",
     "corpus_shard_shuffle",
     "host_graph_components",
+    "compact_plan",
+    "charset_sniff",
+    "soft404_detect",
+    "url_template_mine",
 ]
 
 

@@ -1,0 +1,144 @@
+"""Hand-written fixtures for the ingest-hygiene gates (#75-78).
+
+The gate queries synthesize their own input columns closed-form so the
+DuckDB oracle can restate them — which (as VERDICT r3 noted for
+sitemap_parse) leaves a shared-bug blind spot: fixture generation and the
+detector under test ride the same string-building conventions. These tests
+close that gap: REAL-WORLD-SHAPED bytes, authored by hand (including
+malformed cases), flow through the exact production expressions
+(charset_sniff_cols / soft404_verdict_col / url_template_col) with
+expectations asserted independently.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from boris_spark.ops.queries import (  # noqa: E402
+    _COMPACT_TARGET,
+    charset_sniff_cols,
+    compact_plan,
+    soft404_verdict_col,
+    url_template_col,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+CHARSET_FIXTURES = [
+    # (head, expected_charset, expected_via)
+    ('<!DOCTYPE html><html><head><meta charset="utf-8">', "utf-8", "meta"),
+    # uppercase tag + attribute, bare value (HTML5 prescan is case-insensitive)
+    ("<HTML><HEAD><META CHARSET=Shift_JIS></HEAD>", "shift_jis", "meta"),
+    # the classic legacy form, single http-equiv, charset buried in content=
+    (
+        '<head><meta http-equiv="Content-Type" '
+        'content="text/html; charset=windows-1251"></head>',
+        "windows-1251",
+        "meta",
+    ),
+    # xml declaration only (XHTML served as XML)
+    ('<?xml version="1.0" encoding="ISO-8859-15"?><html/>', "iso-8859-15", "xmldecl"),
+    # both present: meta wins regardless of document order
+    (
+        '<?xml version="1.0" encoding="UTF-16"?>'
+        "<html><head><meta charset=KOI8-R>",
+        "koi8-r",
+        "meta",
+    ),
+    # single-quoted value (legal HTML) — the \x27 branch of the pattern
+    ("<head><meta charset='EUC-JP'></head>", "euc-jp", "meta"),
+    # no declaration at all -> default
+    ("<html><body>hello</body></html>", "utf-8", "default"),
+    # malformed: attribute with no value -> no match, default
+    ("<head><meta charset></head>", "utf-8", "default"),
+    # documented subset boundary: whitespace around '=' is not tolerated
+    # (the real prescan skips it; ours falls back to the default)
+    ("<head><meta charset = 'utf-8'></head>", "utf-8", "default"),
+]
+
+
+def test_charset_sniff_hand_fixtures(spark):
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _, _) in enumerate(CHARSET_FIXTURES)], "i long, head string"
+    )
+    charset, via = charset_sniff_cols(df["head"])
+    got = {r["i"]: (r["charset"], r["via"]) for r in df.select("i", charset, via).collect()}
+    for i, (_, want_cs, want_via) in enumerate(CHARSET_FIXTURES):
+        assert got[i] == (want_cs, want_via), f"fixture {i}: {got[i]}"
+
+
+SOFT404_FIXTURES = [
+    ("Sorry, the page you requested was not found on this server.", "ok"),
+    # phrase list is exact-substring on lowercased body
+    ("ERROR 404 - nothing here", "phrase"),
+    ("This article is No Longer Available due to rights issues.", "phrase"),
+    ("404", "short"),
+    ("   ", "short"),
+    ("a perfectly ordinary document with plenty of words in it", "ok"),
+    # phrase beats short when both apply
+    ("page not found", "phrase"),
+]
+
+
+def test_soft404_hand_fixtures(spark):
+    df = spark.createDataFrame(
+        [(i, b) for i, (b, _) in enumerate(SOFT404_FIXTURES)], "i long, body string"
+    )
+    got = {r["i"]: r["verdict"] for r in df.select("i", soft404_verdict_col(df["body"])).collect()}
+    for i, (_, want) in enumerate(SOFT404_FIXTURES):
+        assert got[i] == want, f"fixture {i}: {got[i]!r} != {want!r}"
+
+
+URL_TEMPLATE_FIXTURES = [
+    (
+        "https://news.example.com/2024/03/17/article-9123.html",
+        "https://news.example.com/(d)/(d)/(d)/article-(d).html",
+    ),
+    (
+        # 32-hex session token collapses to (hex), not 32 chars of (d)
+        "http://shop.test/cart?sid=0123456789abcdef0123456789abcdef",
+        "http://shop.test/cart?sid=(hex)",
+    ),
+    (
+        # 31 hex chars is NOT a token; its digit runs collapse individually
+        "http://shop.test/cart?sid=0123456789abcdef0123456789abcde",
+        "http://shop.test/cart?sid=(d)abcdef(d)abcde",
+    ),
+    ("http://example.com/about", "http://example.com/about"),
+    (
+        "http://h7.shop.test/search?q=item&page=19",
+        "http://h(d).shop.test/search?q=item&page=(d)",
+    ),
+]
+
+
+def test_url_template_hand_fixtures(spark):
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(URL_TEMPLATE_FIXTURES)], "i long, url string"
+    )
+    got = {r["i"]: r["template"] for r in df.select("i", url_template_col(df["url"])).collect()}
+    for i, (_, want) in enumerate(URL_TEMPLATE_FIXTURES):
+        assert got[i] == want, f"fixture {i}: {got[i]!r} != {want!r}"
+
+
+def test_compact_plan_invariants(spark):
+    """Every file assigned exactly once; group ids contiguous from 0 per
+    partition; no group except the last exceeds target once it has >1 file
+    (a single file larger than target must still get its own group)."""
+    rows = compact_plan(spark, SF_DIR).collect()
+    by_part = {}
+    for r in rows:
+        by_part.setdefault(r["part"], []).append(r)
+    assert sum(len(v) for v in by_part.values()) == len(rows)
+    for part, fs in by_part.items():
+        fs.sort(key=lambda r: r["file_id"])
+        grps = sorted({r["grp"] for r in fs})
+        assert grps == list(range(len(grps))), f"part {part}: gaps in {grps}"
+        # cumulative-sum grouping: group boundary only crossed when the
+        # running total passes a multiple of target
+        cum = 0
+        for r in fs:
+            assert r["grp"] == cum // _COMPACT_TARGET
+            cum += r["bytes"]
