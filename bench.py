@@ -80,6 +80,10 @@ BENCH_QUERIES = [
     "charset_sniff",
     "soft404_detect",
     "url_template_mine",
+    "host_hits",
+    "fetch_slot_schedule",
+    "canonical_link_resolve",
+    "quality_logit_score",
 ]
 
 

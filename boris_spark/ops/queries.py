@@ -3652,3 +3652,320 @@ def url_template_mine(spark, sf_dir):
             & F.contains(F.col("template"), F.lit("(hex)"))
         ).alias("trap"),
     )
+
+
+# =====================================================================
+# Link-analysis + scheduling + canonicalization + model-inference gates
+# (#79-82): HITS hubs/authorities, politeness fetch-slot schedule,
+# rel=canonical resolution, logistic quality-classifier inference.
+# =====================================================================
+
+_HITS_NODES = 500  # host-graph size for the synthetic HITS lattice
+
+
+@q(
+    "host_hits",
+    f"""
+    WITH edges AS (
+        SELECT l_orderkey % {_HITS_NODES} AS src,
+               l_suppkey % {_HITS_NODES} AS dst
+        FROM lineitem WHERE (l_orderkey % {_HITS_NODES}) != (l_suppkey % {_HITS_NODES})
+    ),
+    nodes AS (
+        SELECT DISTINCT src AS node FROM edges
+        UNION SELECT DISTINCT dst FROM edges
+    ),
+    auth1 AS (
+        SELECT n.node, CAST(COALESCE(count(e.src), 0) AS BIGINT) AS a
+        FROM nodes n LEFT JOIN edges e ON e.dst = n.node
+        GROUP BY n.node
+    ),
+    hub1 AS (
+        SELECT n.node, CAST(COALESCE(SUM(a1.a), 0) AS BIGINT) AS h
+        FROM nodes n
+        LEFT JOIN edges e ON e.src = n.node
+        LEFT JOIN auth1 a1 ON a1.node = e.dst
+        GROUP BY n.node
+    ),
+    auth2 AS (
+        SELECT n.node, CAST(COALESCE(SUM(h1.h), 0) AS BIGINT) AS a
+        FROM nodes n
+        LEFT JOIN edges e ON e.dst = n.node
+        LEFT JOIN hub1 h1 ON h1.node = e.src
+        GROUP BY n.node
+    )
+    SELECT a2.node, a2.a AS auth, h1.h AS hub
+    FROM auth2 a2 JOIN hub1 h1 ON h1.node = a2.node
+    """,
+)
+def host_hits(spark, sf_dir):
+    """HITS hubs/authorities over the host link graph (Kleinberg JACM'99)
+    — the second classic link signal next to frontier_priority_pagerank: a
+    high-hub host is a link directory (or a link farm's hub page), a
+    high-authority host is what the directories point at; crawl schedulers
+    use hubs for frontier expansion and spam teams use hub-score outliers
+    for farm detection. 1.5 power iterations on the INTEGER lattice (hub0
+    = 1 ⇒ auth1 = indegree ⇒ hub1 = Σ auth1(out-neighbors) ⇒ auth2 = Σ
+    hub1(in-neighbors)), unnormalized: every score is an exact integer, so
+    the gate has no float-rounding surface at all (the pagerank gate
+    already covers damped float iteration). Multi-edges kept — parallel
+    links weight the endorsement, as in the pagerank gate.
+
+    Scale shape: same static-DAG discipline as pagerank — each half-step
+    is one edges⋈scores join co-partitioned on the score key plus one
+    partial-agg groupBy; edges persist once; score frames are |V|-sized
+    (broadcast when small, shuffle-hash at 10^8 hosts); no driver-side
+    loop state."""
+    l = T(spark, sf_dir, "lineitem")
+    edges = (
+        l.select(
+            F.pmod("l_orderkey", F.lit(_HITS_NODES)).alias("src"),
+            F.pmod("l_suppkey", F.lit(_HITS_NODES)).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+    )
+    edges = _pooled_persist(edges)
+    nodes = _pooled_persist(
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+
+    def half_step(scores, key_side, group_side):
+        # scores keyed by `key_side` endpoint, summed per `group_side`
+        contrib = edges.join(
+            scores, edges[key_side] == scores["node"]
+        ).select(F.col(group_side).alias("node"), F.col("s"))
+        return nodes.join(
+            contrib.groupBy("node").agg(F.sum("s").alias("sum_s")),
+            "node",
+            "left",
+        ).select(
+            "node", F.coalesce("sum_s", F.lit(0)).cast("long").alias("s")
+        )
+
+    hub0 = nodes.select("node", F.lit(1).cast("long").alias("s"))
+    auth1 = half_step(hub0, "src", "dst")
+    hub1 = _pooled_persist(half_step(auth1, "dst", "src"))
+    auth2 = half_step(hub1, "src", "dst")
+    return auth2.select("node", F.col("s").alias("auth")).join(
+        hub1.select("node", F.col("s").alias("hub")), "node"
+    )
+
+
+_SLOT_ROUND_S = 60  # scheduling quantum (seconds per crawl round)
+
+
+@q(
+    "fetch_slot_schedule",
+    f"""
+    WITH u AS (
+      SELECT doc_id,
+             'h' || (doc_id % {DOC_HOSTS}) || '.docs.test' AS host,
+             1 + (doc_id % {DOC_HOSTS}) % 5 AS delay_s,
+             n_chars
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, host, delay_s,
+             row_number() OVER (
+               PARTITION BY host ORDER BY n_chars DESC, doc_id
+             ) AS rk
+      FROM u
+    )
+    SELECT doc_id, host,
+           CAST((rk - 1) * delay_s AS BIGINT) AS slot_s,
+           CAST(((rk - 1) * delay_s) // {_SLOT_ROUND_S} AS BIGINT)
+             AS fetch_round
+    FROM r
+    """,
+)
+def fetch_slot_schedule(spark, sf_dir):
+    """Politeness fetch-slot materialization: turn each host's Crawl-delay
+    into an explicit per-URL schedule — priority-rank the host's queue
+    (content length desc, doc_id tiebreak), then slot_s = (rank-1) x
+    delay and fetch_round = slot_s div the round quantum. This is the
+    declarative form of what the engine's politeness stage does
+    implicitly (budget = round_seconds / delay URLs per round,
+    host_budgets_from_robots): materializing it lets an operator audit
+    exactly WHEN any URL will be fetched and how deep each host's backlog
+    runs — the frontier's ETA column. All-integer arithmetic.
+
+    Scale shape: ONE hash exchange on the host key feeding a per-host
+    rank window — identical to the frontier dequeue's shape; per-host
+    queue length bounds window state, and a Zipf mega-host takes the
+    salted two-phase form the frontier_topk_salted gate pins. The plan
+    audit forbids a SinglePartition window."""
+    d = T(spark, sf_dir, "documents")
+    hid = F.pmod("doc_id", F.lit(DOC_HOSTS))
+    u = d.select(
+        "doc_id",
+        F.concat(F.lit("h"), hid.cast("string"), F.lit(".docs.test")).alias(
+            "host"
+        ),
+        (F.lit(1) + F.pmod(hid, F.lit(5))).alias("delay_s"),
+        "n_chars",
+    )
+    w = Window.partitionBy("host").orderBy(F.desc("n_chars"), "doc_id")
+    r = u.withColumn("rk", F.row_number().over(w))
+    slot = (F.col("rk") - 1) * F.col("delay_s")
+    return r.select(
+        "doc_id",
+        "host",
+        slot.cast("long").alias("slot_s"),
+        F.floor(slot / _SLOT_ROUND_S).cast("long").alias("fetch_round"),
+    )
+
+
+# rel=canonical synthesis: ~25% of pages declare a canonical pointing at
+# the previous doc (the "print/amp/session variant" case), ~25% declare a
+# self-canonical, the rest declare none.
+_CANON_HEAD_CASE = f"""
+    CASE CAST({{id}} % 4 AS BIGINT)
+      WHEN 1 THEN '<head><link rel="canonical" href="http://h'
+                  || (({{id}} - 1) % {DOC_HOSTS}) || '.docs.test/d/'
+                  || ({{id}} - 1) || '"></head>'
+      WHEN 3 THEN '<head><link rel="canonical" href="http://h'
+                  || ({{id}} % {DOC_HOSTS}) || '.docs.test/d/' || {{id}}
+                  || '"></head>'
+      ELSE '<head><title>t</title></head>'
+    END
+"""
+_CANON_RE = '(?i)rel="?canonical"?[^>]*href="([^"]+)"'
+
+
+def canonical_href_col(head):
+    """rel=canonical href extractor — shared by the gate and the
+    hand-written-fixture tests."""
+    return F.regexp_extract(head, _CANON_RE, 1)
+
+
+@q(
+    "canonical_link_resolve",
+    f"""
+    WITH pages AS (
+      SELECT doc_id,
+             'http://h' || (doc_id % {DOC_HOSTS}) || '.docs.test/d/' || doc_id
+               AS url,
+             {_CANON_HEAD_CASE.format(id="doc_id")} AS head
+      FROM documents
+    )
+    SELECT doc_id, url,
+           COALESCE(NULLIF(regexp_extract(head, '{_CANON_RE}', 1), ''), url)
+             AS canonical_url,
+           COALESCE(NULLIF(regexp_extract(head, '{_CANON_RE}', 1), ''), url)
+             <> url AS is_variant
+    FROM pages
+    """,
+)
+def canonical_link_resolve(spark, sf_dir):
+    """rel=canonical resolution — the publisher-declared dedup signal
+    (print/AMP/session-id variants point at their canonical form): extract
+    the ``<link rel=canonical href>`` target from each page head, default
+    to the page's own URL when absent, and flag variants. Downstream,
+    grouping by canonical_url is the cheapest dedup pass in the pipeline
+    (dedup_exact's hash-groupBy on this column instead of a content hash)
+    and crawl schedulers skip recrawling variants. Extraction is one
+    case-insensitive codegen'd regex shared verbatim with hand-written
+    fixtures (attribute-order variants, single quotes absent ⇒ miss — the
+    documented subset), zero shuffles, scan-speed.
+
+    Scale shape: map-only projection; the follow-on canonical grouping is
+    one partial-agg shuffle keyed on canonical_url (bounded per-key state
+    — a mega-site's variants all map to distinct canonical targets)."""
+    d = T(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("http://h"),
+        F.pmod("doc_id", F.lit(DOC_HOSTS)).cast("string"),
+        F.lit(".docs.test/d/"),
+        F.col("doc_id").cast("string"),
+    )
+    head = F.expr(_CANON_HEAD_CASE.format(id="doc_id"))
+    href = canonical_href_col(head)
+    canon = F.coalesce(F.nullif(href, F.lit("")), url)
+    return d.select(
+        "doc_id",
+        url.alias("url"),
+        canon.alias("canonical_url"),
+        (canon != url).alias("is_variant"),
+    )
+
+
+# Fixed classifier weights (fasttext-style wiki-vs-crawl quality filter
+# stand-in): z = b + w·[stop_frac, type_token_ratio, len_sat]
+_QLOGIT_B = -1.5
+_QLOGIT_W_STOP = -3.0
+_QLOGIT_W_TTR = 2.0
+_QLOGIT_W_LEN = 1.2
+_QLOGIT_STOPWORDS = ("a", "the")
+
+
+@q(
+    "quality_logit_score",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    f AS (
+      SELECT doc_id,
+             CAST(len(toks) AS DOUBLE) AS n_tok,
+             CAST(len(list_filter(toks,
+                 x -> x = 'a' OR x = 'the')) AS DOUBLE) AS n_stop,
+             CAST(len(list_distinct(toks)) AS DOUBLE) AS n_distinct
+      FROM t
+    ),
+    z AS (
+      SELECT doc_id,
+             {_QLOGIT_B}
+             + {_QLOGIT_W_STOP} * (n_stop / n_tok)
+             + {_QLOGIT_W_TTR} * (n_distinct / n_tok)
+             + {_QLOGIT_W_LEN} * least(1.0, n_tok / 100.0) AS z
+      FROM f
+    )
+    SELECT doc_id,
+           round(0.5 + 0.5 * (z / (1 + abs(z))), 6) AS score,
+           z > 0 AS keep
+    FROM z
+    """,
+)
+def quality_logit_score(spark, sf_dir):
+    """Model-based quality filtering: inference of a fixed-weight logistic
+    classifier over engineered text features (stopword fraction,
+    type-token ratio, saturating length) — the fasttext wiki-vs-crawl
+    filter of CCNet/LLaMA-style pipelines, reduced to its Spark-side
+    shape: model weights are literals in the plan (broadcast-free), the
+    feature vector is codegen'd array work, and scoring is a projection.
+    The squashing function is the ALGEBRAIC sigmoid 0.5 + 0.5·z/(1+|z|)
+    rather than 1/(1+e^-z): same monotone S-shape and 0.5-at-0 decision
+    boundary, but built entirely from IEEE-754 correctly-rounded ops
+    (+,×,/,abs) so Spark and the DuckDB oracle agree bit-for-bit — exp()
+    is not correctly rounded and may differ across libm builds; the keep
+    decision is z > 0, evaluated pre-rounding.
+
+    Scale shape: zero shuffles, scan-speed map pass; a learned 10^5-dim
+    fasttext model would swap the literal weights for a broadcast
+    hash-join against a token-weight table plus one partial-agg shuffle —
+    doc_lm_score already pins that aggregate-to-aggregate shape."""
+    d = T(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks).cast("double")
+    n_stop = F.size(
+        F.filter(
+            toks,
+            lambda x: (x == _QLOGIT_STOPWORDS[0]) | (x == _QLOGIT_STOPWORDS[1]),
+        )
+    ).cast("double")
+    n_distinct = F.size(F.array_distinct(toks)).cast("double")
+    z = (
+        F.lit(_QLOGIT_B)
+        + F.lit(_QLOGIT_W_STOP) * (n_stop / n_tok)
+        + F.lit(_QLOGIT_W_TTR) * (n_distinct / n_tok)
+        + F.lit(_QLOGIT_W_LEN) * F.least(F.lit(1.0), n_tok / F.lit(100.0))
+    )
+    return d.select(
+        "doc_id",
+        F.round(F.lit(0.5) + F.lit(0.5) * (z / (F.lit(1) + F.abs(z))), 6).alias(
+            "score"
+        ),
+        (z > 0).alias("keep"),
+    )

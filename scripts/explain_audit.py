@@ -180,6 +180,17 @@ EXPECTATIONS = {
     "soft404_detect": ["Project", "ReadSchema: struct<doc_id:bigint,text:string>"],
     # template mining: ONE partial-agg shuffle keyed on the template
     "url_template_mine": ["HashAggregate", "hashpartitioning(template#"],
+    # HITS: pagerank's static-DAG discipline — partial-agg groupBys, edge
+    # scan pruned to the two key columns
+    "host_hits": [
+        "HashAggregate",
+        "ReadSchema: struct<l_orderkey:bigint,l_suppkey:bigint>",
+    ],
+    # politeness slots: one hash exchange on host feeding the rank window
+    "fetch_slot_schedule": ["Window", "hashpartitioning(host#"],
+    # canonical resolve + logit score: scan-speed map-only projections
+    "canonical_link_resolve": ["Project", "ReadSchema: struct<doc_id:bigint>"],
+    "quality_logit_score": ["Project", "ReadSchema: struct<doc_id:bigint,text:string>"],
 }
 
 # query → substrings that must NOT appear (the round-1 defect signatures)
@@ -234,6 +245,10 @@ FORBIDDEN = {
     "charset_sniff": ["Exchange", "ArrowEvalPython", "BatchEvalPython"],
     "soft404_detect": ["Exchange", "ArrowEvalPython", "BatchEvalPython"],
     "url_template_mine": ["ArrowEvalPython", "BatchEvalPython"],
+    # a partition-less rank window would queue every URL through one task
+    "fetch_slot_schedule": ["SinglePartition", "ArrowEvalPython", "BatchEvalPython"],
+    "canonical_link_resolve": ["Exchange", "ArrowEvalPython", "BatchEvalPython"],
+    "quality_logit_score": ["Exchange", "ArrowEvalPython", "BatchEvalPython"],
 }
 
 

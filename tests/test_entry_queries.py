@@ -85,6 +85,10 @@ FAST = [
     "charset_sniff",
     "soft404_detect",
     "url_template_mine",
+    "host_hits",
+    "fetch_slot_schedule",
+    "canonical_link_resolve",
+    "quality_logit_score",
 ]
 
 

@@ -142,3 +142,34 @@ def test_compact_plan_invariants(spark):
         for r in fs:
             assert r["grp"] == cum // _COMPACT_TARGET
             cum += r["bytes"]
+
+
+CANONICAL_FIXTURES = [
+    (
+        '<head><link rel="canonical" href="https://example.com/article">',
+        "https://example.com/article",
+    ),
+    # attribute order flipped + extra attributes between rel and href
+    (
+        '<link rel=canonical data-x="1" href="http://e.com/a?page=1">',
+        "http://e.com/a?page=1",
+    ),
+    # uppercase
+    ('<LINK REL="CANONICAL" HREF="http://e.com/c">', "http://e.com/c"),
+    # rel=alternate must NOT match
+    ('<link rel="alternate" href="http://e.com/feed">', ""),
+    # documented subset boundary: href BEFORE rel does not match
+    ('<link href="http://e.com/x" rel="canonical">', ""),
+]
+
+
+def test_canonical_href_hand_fixtures(spark):
+    from boris_spark.ops.queries import canonical_href_col
+
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(CANONICAL_FIXTURES)], "i long, head string"
+    )
+    got = {r["i"]: r["href"] for r in df.select(
+        "i", canonical_href_col(df["head"]).alias("href")).collect()}
+    for i, (_, want) in enumerate(CANONICAL_FIXTURES):
+        assert got[i] == want, f"fixture {i}: {got[i]!r} != {want!r}"
