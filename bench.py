@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "fetch_slot_schedule",
     "canonical_link_resolve",
     "quality_logit_score",
+    "redirect_resolve",
 ]
 
 

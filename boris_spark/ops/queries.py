@@ -3969,3 +3969,77 @@ def quality_logit_score(spark, sf_dir):
         ),
         (z > 0).alias("keep"),
     )
+
+
+# =====================================================================
+# Redirect-chain resolution gate (#83): pointer doubling on the redirect
+# graph — the crawl-side canonicalization step for 3xx chains.
+# =====================================================================
+
+_REDIR_MOD = 8  # ids with id % 8 in {1,2,3} redirect to id-1 ⇒ chains of
+                # length 1, 2, 3 ending at the id%8==0 terminal
+
+
+@q(
+    "redirect_resolve",
+    f"""
+    SELECT doc_id AS url_id,
+           CAST(doc_id - CASE WHEN doc_id % {_REDIR_MOD} BETWEEN 1 AND 3
+                                  THEN doc_id % {_REDIR_MOD} ELSE 0 END
+                AS BIGINT) AS final_id,
+           CAST(CASE WHEN doc_id % {_REDIR_MOD} BETWEEN 1 AND 3
+                     THEN doc_id % {_REDIR_MOD} ELSE 0 END
+                AS BIGINT) AS hops
+    FROM documents
+    """,
+)
+def redirect_resolve(spark, sf_dir):
+    """Redirect-chain resolution: collapse every URL's 3xx chain to its
+    final target + hop count — the crawl-side canonicalization a frontier
+    applies so a chain's members share one seen-set entry and one fetch
+    (the engine's live fetcher follows redirects per-request,
+    engine/fetch.py; this is the corpus-wide batch form over an already
+    harvested redirect table, e.g. from WARC response records). The
+    synthetic redirect graph is closed-form — id redirects to id-1 iff
+    id mod {_REDIR_MOD} ∈ {{1,2,3}} — so chains have length 1-3, every
+    chain ends at the mod-0 terminal, and the ORACLE is pure modular
+    arithmetic (final = id - (id mod {_REDIR_MOD} if ≤ 3), hops likewise)
+    sharing zero traversal code with the engine.
+
+    Scale design: POINTER DOUBLING (the classic parallel
+    functional-graph contraction): f0 = one-step pointer (terminal ⇒
+    self, hops 0|1), then k rounds of f ∘ f — each round ONE
+    equi-self-join on the successor key that squares the resolved chain
+    length, so length-L chains need ⌈log2 L⌉ joins (2 rounds here cover
+    L ≤ 4; HTTP clients cap redirect chains anyway — curl defaults to
+    ~30+ max, i.e. 5 rounds). A sequential follow-the-chain loop would
+    be O(L) full-table joins; doubling is O(log L) — at 10^10 URLs the
+    difference between 30 shuffles and 5. Each join co-partitions both
+    sides on the join key; hop counts add across composition."""
+    d = T(spark, sf_dir, "documents")
+    m = F.pmod("doc_id", F.lit(_REDIR_MOD))
+    is_redir = (m >= 1) & (m <= 3)
+    # f0: (id, nxt, hops) — one redirect step; terminals map to themselves
+    f = d.select(
+        F.col("doc_id").alias("id"),
+        F.when(is_redir, F.col("doc_id") - 1)
+        .otherwise(F.col("doc_id"))
+        .alias("nxt"),
+        F.when(is_redir, F.lit(1)).otherwise(F.lit(0)).alias("hops"),
+    )
+    for _ in range(2):  # 2 doubling rounds resolve chains up to length 4
+        g = f.select(
+            F.col("id").alias("g_id"),
+            F.col("nxt").alias("g_nxt"),
+            F.col("hops").alias("g_hops"),
+        )
+        f = f.join(g, f["nxt"] == g["g_id"]).select(
+            "id",
+            F.col("g_nxt").alias("nxt"),
+            (F.col("hops") + F.col("g_hops")).alias("hops"),
+        )
+    return f.select(
+        F.col("id").alias("url_id"),
+        F.col("nxt").cast("long").alias("final_id"),
+        F.col("hops").cast("long").alias("hops"),
+    )

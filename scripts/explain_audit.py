@@ -191,6 +191,8 @@ EXPECTATIONS = {
     # canonical resolve + logit score: scan-speed map-only projections
     "canonical_link_resolve": ["Project", "ReadSchema: struct<doc_id:bigint>"],
     "quality_logit_score": ["Project", "ReadSchema: struct<doc_id:bigint,text:string>"],
+    # pointer doubling: log(L) self-joins, scan pruned to the id column
+    "redirect_resolve": ["ReadSchema: struct<doc_id:bigint>"],
 }
 
 # query → substrings that must NOT appear (the round-1 defect signatures)
@@ -249,6 +251,7 @@ FORBIDDEN = {
     "fetch_slot_schedule": ["SinglePartition", "ArrowEvalPython", "BatchEvalPython"],
     "canonical_link_resolve": ["Exchange", "ArrowEvalPython", "BatchEvalPython"],
     "quality_logit_score": ["Exchange", "ArrowEvalPython", "BatchEvalPython"],
+    "redirect_resolve": ["ArrowEvalPython", "BatchEvalPython", "CartesianProduct"],
 }
 
 

@@ -89,6 +89,7 @@ FAST = [
     "fetch_slot_schedule",
     "canonical_link_resolve",
     "quality_logit_score",
+    "redirect_resolve",
 ]
 
 
