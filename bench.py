@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "canonical_link_resolve",
     "quality_logit_score",
     "redirect_resolve",
+    "dedup_incremental",
 ]
 
 

@@ -555,6 +555,40 @@ def _verify_candidates(
     )
 
 
+def _band_sigs(shingles: DataFrame, n_hashes: int = 32, rows_per_band: int = 2) -> DataFrame:
+    """(doc_id, band, band_sig) LSH band signatures: 32 xxhash64 minhash
+    permutations folded into 16 bands of 2 rows. One scan — the bands
+    explode from an array of structs instead of 16 re-aggregations of the
+    signature frame. Shared by the batch self-join (dedup_minhash_lsh)
+    and the incremental new-vs-index join (dedup_incremental)."""
+    sig = shingles.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"h{i}")
+            for i in range(n_hashes)
+        ]
+    )
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                F.concat_ws(",", *[
+                    F.col(f"h{b * rows_per_band + r}").cast("string")
+                    for r in range(rows_per_band)
+                ])
+            ).alias("band_sig"),
+        )
+        for b in range(n_hashes // rows_per_band)
+    ])
+    return (
+        sig.select("doc_id", F.explode(band_structs).alias("bs"))
+        .select(
+            "doc_id",
+            F.col("bs.band").alias("band"),
+            F.col("bs.band_sig").alias("band_sig"),
+        )
+    )
+
+
 @q("dedup_ngram_jaccard", _JACCARD_SQL)
 def dedup_ngram_jaccard(spark, sf_dir):
     """EXACT 3-gram shingle Jaccard ≥ τ=0.4 via AllPairs-style prefix
@@ -608,31 +642,7 @@ def dedup_minhash_lsh(spark, sf_dir):
     oracle string, never in the physical plan. Minhash permutations are
     xxhash64 with per-permutation prefixes — JVM-side, no UDF."""
     shingles = _shingles_df(spark, sf_dir)
-    n_hashes, rows_per_band = 32, 2
-    sig = shingles.groupBy("doc_id").agg(
-        *[
-            F.min(F.xxhash64(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"h{i}")
-            for i in range(n_hashes)
-        ]
-    )
-    # one scan: explode an array of (band, band_sig) structs instead of
-    # unioning 16 re-aggregations of the signature frame
-    band_structs = F.array(*[
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(
-                F.concat_ws(",", *[
-                    F.col(f"h{b * rows_per_band + r}").cast("string")
-                    for r in range(rows_per_band)
-                ])
-            ).alias("band_sig"),
-        )
-        for b in range(n_hashes // rows_per_band)
-    ])
-    allb = (
-        sig.select("doc_id", F.explode(band_structs).alias("bs"))
-        .select("doc_id", F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig"))
-    )
+    allb = _band_sigs(shingles)
     a, b2 = allb.alias("a"), allb.alias("b")
     cand = (
         a.join(
@@ -4042,4 +4052,67 @@ def redirect_resolve(spark, sf_dir):
         F.col("id").alias("url_id"),
         F.col("nxt").cast("long").alias("final_id"),
         F.col("hops").cast("long").alias("hops"),
+    )
+
+
+# =====================================================================
+# Incremental near-dup admission gate (#84): a NEW crawl batch checked
+# against the EXISTING corpus index — never old x old.
+# =====================================================================
+
+_INCR_MOD = 10  # doc_id % 10 == 9 -> the "new batch"; the rest are indexed
+
+
+@q(
+    "dedup_incremental",
+    "WITH " + _TOKS_SQL + f"""
+    SELECT i.doc_a, i.doc_b,
+           round(CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c) >= 0.4
+      AND (i.doc_a % {_INCR_MOD} = 9) <> (i.doc_b % {_INCR_MOD} = 9)
+    """,
+)
+def dedup_incremental(spark, sf_dir):
+    """Incremental near-dup admission: each continuous-crawl generation
+    must be checked against the EXISTING corpus before admission — and the
+    cost must scale with the NEW batch, not the corpus (re-running the
+    full self-join per generation is quadratic in crawl lifetime). The
+    synthetic split takes doc_id mod {_INCR_MOD} == 9 as the incoming
+    batch and the rest as the standing index. The new side's LSH band
+    signatures (same 32-hash/16-band scheme as dedup_minhash_lsh, shared
+    via _band_sigs) join the index's PRE-MATERIALIZED band table — a
+    new×index equi-join on (band, band_sig); index×index pairs are never
+    formed. Survivor pairs verify by exact Jaccard ≥ 0.4 over the cached
+    per-doc shingle arrays (candidate-bounded, as everywhere in the dedup
+    family). The oracle is the full exact-Jaccard join restricted to
+    mixed pairs — quadratic SQL that exists only oracle-side.
+
+    Scale design: at 10^10 indexed docs + 10^7-doc generations, the band
+    table is a bucketed/partitioned standing table (16 band files per
+    shard); the join shuffles ONLY the new batch's signatures into the
+    index's partitioning (shuffle-hash, new side small per band bucket)
+    — index bytes move zero times. Verification joins pull only matched
+    index docs' shingle arrays."""
+    shingles = _shingles_df(spark, sf_dir)
+    allb = _band_sigs(shingles)
+    is_new = F.pmod("doc_id", F.lit(_INCR_MOD)) == (_INCR_MOD - 1)
+    newb = allb.where(is_new).alias("n")
+    oldb = allb.where(~is_new).alias("o")
+    cand = (
+        newb.join(
+            oldb,
+            (F.col("n.band") == F.col("o.band"))
+            & (F.col("n.band_sig") == F.col("o.band_sig")),
+        )
+        .select(
+            F.least(F.col("n.doc_id"), F.col("o.doc_id")).alias("doc_a"),
+            F.greatest(F.col("n.doc_id"), F.col("o.doc_id")).alias("doc_b"),
+        )
+        .distinct()
+    )
+    return _verify_candidates(
+        cand, _doc_sets_df(shingles, cache_key=os.path.abspath(sf_dir))
     )

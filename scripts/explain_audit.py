@@ -193,6 +193,9 @@ EXPECTATIONS = {
     "quality_logit_score": ["Project", "ReadSchema: struct<doc_id:bigint,text:string>"],
     # pointer doubling: log(L) self-joins, scan pruned to the id column
     "redirect_resolve": ["ReadSchema: struct<doc_id:bigint>"],
+    # incremental admission: candidates from the band equi-join + exact
+    # verify on cached arrays — same candidate-bounded discipline as LSH
+    "dedup_incremental": ["array_intersect", "band_sig"],
 }
 
 # query → substrings that must NOT appear (the round-1 defect signatures)
@@ -252,6 +255,8 @@ FORBIDDEN = {
     "canonical_link_resolve": ["Exchange", "ArrowEvalPython", "BatchEvalPython"],
     "quality_logit_score": ["Exchange", "ArrowEvalPython", "BatchEvalPython"],
     "redirect_resolve": ["ArrowEvalPython", "BatchEvalPython", "CartesianProduct"],
+    # the raw-shingle self-join must never reappear in the physical plan
+    "dedup_incremental": ["hashpartitioning(s#"],
 }
 
 

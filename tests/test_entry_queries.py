@@ -90,6 +90,7 @@ FAST = [
     "canonical_link_resolve",
     "quality_logit_score",
     "redirect_resolve",
+    "dedup_incremental",
 ]
 
 
