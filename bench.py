@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "quality_logit_score",
     "redirect_resolve",
     "dedup_incremental",
+    "stream_host_rates",
 ]
 
 

@@ -4116,3 +4116,51 @@ def dedup_incremental(spark, sf_dir):
     return _verify_candidates(
         cand, _doc_sets_df(shingles, cache_key=os.path.abspath(sf_dir))
     )
+
+
+# =====================================================================
+# Streaming per-host fetch-rate gate (#85): tumbling window + watermark,
+# append mode — the second Structured-Streaming form next to
+# events_sessionize_stream's session_window.
+# =====================================================================
+
+
+@q(
+    "stream_host_rates",
+    """
+    SELECT 'h' || (user_id % 20) AS host,
+           CAST(((epoch_ms(ts) // 1000) // 60) * 60 AS BIGINT)
+             AS window_start_s,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_host_rates(spark, sf_dir):
+    """Streaming per-host fetch-rate monitoring: tumbling 60-second
+    event-time windows per host under a watermark, APPEND mode, drained
+    with Trigger.AvailableNow — the crawl-operations aggregation that at
+    deploy reads the fetch-log topic and feeds politeness autoscaling.
+    Complements events_sessionize_stream: that gate pins Spark's DYNAMIC
+    session_window state; this one pins the FIXED tumbling-window +
+    watermark form (each (host, window) row emitted exactly once when the
+    watermark passes the window end, state evicted — bounded by hosts
+    active within the horizon). Batch SQL oracle: epoch-minute bucketing,
+    which is exactly Spark's epoch-aligned tumbling window. Window starts
+    compare as epoch seconds (BIGINT) so engine timestamp rendering
+    conventions cannot diverge."""
+    import tempfile
+
+    from ..streaming.host_rates import run_host_rates_append
+
+    out = run_host_rates_append(
+        spark, sf_dir, tempfile.mkdtemp(prefix="boris_rates_"),
+        glob="events.parquet",
+        schema="event_id bigint, ts timestamp, user_id bigint, "
+               "event_type string, value double, props string",
+    )
+    return out.select(
+        "host",
+        F.unix_timestamp("window_start").cast("long").alias("window_start_s"),
+        "n_events",
+    )

@@ -71,24 +71,19 @@ def stream_sessionize(
 SENTINEL_USER = -1
 
 
-def run_sessionize_append(
+def stage_with_sentinel(
     spark: SparkSession,
     source_dir: str,
     workdir: str,
-    glob: str = "*.parquet",
-    schema: str = EVENTS_SCHEMA,
-    gap: str = "30 minutes",
-    watermark: str = "2 hours",
-) -> DataFrame:
-    """Append-mode drain of a finite event log; returns the closed-session
-    table read back from the parquet sink (sentinel excluded).
-
-    Stages the matching source files into ``workdir/src`` plus one sentinel
-    event 30 days past the newest real event. The whole source drains in ONE
-    data micro-batch; the watermark then advances past every real session's
-    end (the sentinel guarantees it), and the trailing no-data micro-batch
-    (on by default) flushes them all to the sink before AvailableNow
-    terminates. Only the sentinel's own open session remains in state."""
+    glob: str,
+    schema: str,
+) -> str:
+    """Copy the finite source's parquet files into ``workdir/src`` plus ONE
+    sentinel event (user_id = SENTINEL_USER) 30 days past the newest real
+    event, with file mtimes ordered so the file source reads the sentinel
+    last. Shared by every append-mode AvailableNow drain in this package:
+    the sentinel guarantees the watermark advances past all real event time
+    before the query terminates, so append mode flushes everything."""
     src = os.path.join(workdir, "src")
     os.makedirs(src, exist_ok=True)
 
@@ -121,7 +116,28 @@ def run_sessionize_append(
     dst = os.path.join(src, "zz-sentinel.parquet")
     shutil.copy(os.path.join(stmp, part), dst)
     os.utime(dst, (2_000_000, 2_000_000))
+    return src
 
+
+def run_sessionize_append(
+    spark: SparkSession,
+    source_dir: str,
+    workdir: str,
+    glob: str = "*.parquet",
+    schema: str = EVENTS_SCHEMA,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Append-mode drain of a finite event log; returns the closed-session
+    table read back from the parquet sink (sentinel excluded).
+
+    Stages the matching source files into ``workdir/src`` plus one sentinel
+    event 30 days past the newest real event. The whole source drains in ONE
+    data micro-batch; the watermark then advances past every real session's
+    end (the sentinel guarantees it), and the trailing no-data micro-batch
+    (on by default) flushes them all to the sink before AvailableNow
+    terminates. Only the sentinel's own open session remains in state."""
+    src = stage_with_sentinel(spark, source_dir, workdir, glob, schema)
     sdf = stream_sessionize(spark, src, gap=gap, watermark=watermark,
                             schema=schema)
     out = os.path.join(workdir, "out")

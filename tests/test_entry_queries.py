@@ -91,6 +91,7 @@ FAST = [
     "quality_logit_score",
     "redirect_resolve",
     "dedup_incremental",
+    "stream_host_rates",
 ]
 
 

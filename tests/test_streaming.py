@@ -122,3 +122,53 @@ def test_stream_frontier_dedup_stateful(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert got == {"http://a/1": "0001", "http://b/1": "0002", "http://c/1": "0009"}
+
+
+def test_stream_host_rates_append(spark, tmp_path):
+    """Tumbling-window rates: epoch-minute alignment, one row per closed
+    (host, window), sentinel's far-future window never reaches the sink."""
+    import datetime as dt
+
+    from boris_spark.streaming.host_rates import run_host_rates_append
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # user 0 -> h0: two events in minute 0, one in minute 1 (offset 30s
+        # + 90s); user 1 -> h1: one event in minute 0
+        (1, base + dt.timedelta(seconds=5), 0, "f", 0.0, ""),
+        (2, base + dt.timedelta(seconds=30), 0, "f", 0.0, ""),
+        (3, base + dt.timedelta(seconds=90), 0, "f", 0.0, ""),
+        (4, base + dt.timedelta(seconds=59), 1, "f", 0.0, ""),
+    ]
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string"
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    # single FILE named events.parquet (the sf_dir layout the stager globs)
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdf = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    pq.write_table(
+        pa.Table.from_pandas(pdf), str(src / "events.parquet"),
+        coerce_timestamps="us", allow_truncated_timestamps=True,
+    )
+    out = run_host_rates_append(
+        spark, str(src), str(tmp_path / "wd"), glob="events.parquet",
+        schema=schema,
+    )
+    got = {
+        (r["host"], r["window_start"].isoformat(), r["n_events"])
+        for r in out.collect()
+    }
+    assert got == {
+        ("h0", "2024-01-01T12:00:00", 2),
+        ("h0", "2024-01-01T12:01:00", 1),
+        ("h1", "2024-01-01T12:00:00", 1),
+    }
