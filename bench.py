@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "redirect_resolve",
     "dedup_incremental",
     "stream_host_rates",
+    "dedup_cdc_chunks",
 ]
 
 

@@ -4164,3 +4164,138 @@ def stream_host_rates(spark, sf_dir):
         F.unix_timestamp("window_start").cast("long").alias("window_start_s"),
         "n_events",
     )
+
+
+# =====================================================================
+# Content-defined chunking dedup gate (#86): FastCDC-style boundary
+# detection — chunk boundaries move WITH the content, so an insertion
+# only re-chunks its neighborhood (fixed-width chunking shifts every
+# downstream chunk; dedup_paragraph_chunks pins that form).
+# =====================================================================
+
+# Boundary BEFORE token i (i>=2) iff the last hex digit of
+# md5(t[i-1] || ' ' || t[i]) is 0 or 8 — a 1/8 gear condition on the
+# 2-gram rolling context. md5 is the rolling hash here because it is the
+# one hash both engines compute identically (DuckDB has no xxhash64).
+_CDC_DIGITS = ("0", "8")
+
+
+@q(
+    "dedup_cdc_chunks",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, i AS pos, t[i] AS tok,
+             CASE WHEN i = 1 THEN 0
+                  WHEN substr(md5(t[i-1] || ' ' || t[i]), 32, 1)
+                       IN ('{_CDC_DIGITS[0]}', '{_CDC_DIGITS[1]}') THEN 1
+                  ELSE 0 END AS boundary
+      FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)
+      WHERE len(t) >= 1
+    ),
+    c AS (
+      SELECT doc_id, pos, tok,
+             SUM(boundary) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS UNBOUNDED PRECEDING) AS chunk_id
+      FROM pos
+    ),
+    chunks AS (
+      SELECT doc_id, chunk_id,
+             md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
+      FROM c GROUP BY doc_id, chunk_id
+    )
+    SELECT chunk_hash,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS first_doc
+    FROM chunks
+    GROUP BY chunk_hash
+    """,
+)
+def dedup_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking dedup (the FastCDC/LBFS family): chunk
+    boundaries are a pure function of local content (a 1/8 gear condition
+    on the rolling 2-gram md5), so inserting a paragraph re-chunks only
+    its neighborhood — fixed-width chunking (dedup_paragraph_chunks)
+    shifts every later chunk and loses all downstream matches. Output:
+    one row per distinct chunk hash with copy count, doc frequency, and
+    first-occurrence doc — the storage-dedup / delta-sync primitive
+    applied corpus-wide.
+
+    Scale design: boundary flags are codegen'd array work in the scan
+    projection (the 2-gram context comes from the pre-explode token
+    array — no self-join, no lag shuffle); the running boundary count
+    that numbers chunks is a per-doc window behind ONE hash exchange on
+    doc_id, and the chunk-assembly groupBy((doc_id, chunk_id)) REUSES
+    that partitioning (doc_id is a subset of the group key — no second
+    exchange); only 32-byte chunk hashes enter the final partial-agg
+    shuffle. Per-doc window state is one document's tokens — bounded by
+    max doc length, not corpus size."""
+    d = T(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = F.filter(
+        F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != F.lit("")
+    )
+    flags = F.transform(
+        F.sequence(F.lit(1), F.size("t")),
+        lambda i: F.when(i == 1, F.lit(0)).otherwise(
+            F.when(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.element_at("t", i - 1),
+                            F.lit(" "),
+                            F.element_at("t", i),
+                        )
+                    ),
+                    32,
+                    1,
+                ).isin(*_CDC_DIGITS),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        ),
+    )
+    pos = (
+        d.select("doc_id", toks.alias("t"))
+        .where(F.size("t") >= 1)
+        .select(
+            "doc_id",
+            F.posexplode(F.arrays_zip(F.col("t"), flags.alias("b"))).alias(
+                "p", "z"
+            ),
+        )
+        .select(
+            "doc_id",
+            (F.col("p") + 1).alias("pos"),
+            F.col("z.t").alias("tok"),
+            F.col("z.b").alias("boundary"),
+        )
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = pos.withColumn("chunk_id", F.sum("boundary").over(w))
+    chunks = c.groupBy("doc_id", "chunk_id").agg(
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda x: x["tok"],
+                ),
+            )
+        ).alias("chunk_hash")
+    )
+    return chunks.groupBy("chunk_hash").agg(
+        F.count("*").cast("long").alias("n_copies"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.min("doc_id").cast("long").alias("first_doc"),
+    )

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import io
 import os
+import re
 import sys
 from contextlib import redirect_stdout
 
@@ -196,6 +197,9 @@ EXPECTATIONS = {
     # incremental admission: candidates from the band equi-join + exact
     # verify on cached arrays — same candidate-bounded discipline as LSH
     "dedup_incremental": ["array_intersect", "band_sig"],
+    # CDC: boundary flags codegen'd in the scan projection; chunk window
+    # behind one doc_id exchange; assembly groupBy reuses that partitioning
+    "dedup_cdc_chunks": ["Window", "hashpartitioning(doc_id#", "md5("],
 }
 
 # query → substrings that must NOT appear (the round-1 defect signatures)
@@ -257,6 +261,16 @@ FORBIDDEN = {
     "redirect_resolve": ["ArrowEvalPython", "BatchEvalPython", "CartesianProduct"],
     # the raw-shingle self-join must never reappear in the physical plan
     "dedup_incremental": ["hashpartitioning(s#"],
+    # the chunk-assembly agg must NOT re-shuffle on (doc_id, chunk_id) —
+    # and chunking must stay off the Python path
+    # a re-shuffle for the chunk-assembly agg would render as
+    # hashpartitioning(doc_id#N, chunk_id#M, ...) — match the second key
+    "dedup_cdc_chunks": [
+        r"re:hashpartitioning\(doc_id#\d+L?, chunk_id#",
+        "ArrowEvalPython",
+        "BatchEvalPython",
+        "SinglePartition",
+    ],
 }
 
 
@@ -271,7 +285,12 @@ def main():
             df.explain("formatted")
         plan = buf.getvalue()
         missing = [e for e in expects if e not in plan]
-        present = [e for e in FORBIDDEN.get(name, []) if e in plan]
+        # forbidden entries prefixed "re:" are regex patterns; the rest
+        # are literal substrings
+        present = [
+            e for e in FORBIDDEN.get(name, [])
+            if (re.search(e[3:], plan) if e.startswith("re:") else e in plan)
+        ]
         status = "OK" if not (missing or present) else (
             f"MISSING: {missing}" + (f" FORBIDDEN-PRESENT: {present}" if present else "")
         )

@@ -92,6 +92,7 @@ FAST = [
     "redirect_resolve",
     "dedup_incremental",
     "stream_host_rates",
+    "dedup_cdc_chunks",
 ]
 
 
