@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "dedup_incremental",
     "stream_host_rates",
     "dedup_cdc_chunks",
+    "host_latency_quantiles",
 ]
 
 

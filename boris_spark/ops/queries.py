@@ -4299,3 +4299,46 @@ def dedup_cdc_chunks(spark, sf_dir):
         F.countDistinct("doc_id").cast("long").alias("n_docs"),
         F.min("doc_id").cast("long").alias("first_doc"),
     )
+
+
+# =====================================================================
+# Per-host latency quantile gate (#87): exact distributed percentiles —
+# the fetch-latency SLO monitoring aggregation.
+# =====================================================================
+
+
+@q(
+    "host_latency_quantiles",
+    """
+    SELECT 'h' || (user_id % 20) AS host,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.95), 6) AS p95,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY 1
+    """,
+)
+def host_latency_quantiles(spark, sf_dir):
+    """Per-host fetch-latency quantiles (p50/p95 over the events value
+    column, host derived closed-form from user_id) — the SLO aggregation a
+    crawl scheduler watches per host: a p95 blowing past the politeness
+    budget's assumed RTT means the host is throttling us and its budget
+    should drop. Exact percentiles via Spark's ``percentile`` aggregate
+    (linear interpolation — the same definition as DuckDB's
+    quantile_cont, so the oracle is the definition restated, not shared
+    code); one partial-agg shuffle on the host key.
+
+    Scale note: exact percentile state is the full per-group value
+    multiset, fine at per-host monitoring cardinalities; a 10^8-host
+    rollup switches to ``approx_percentile`` (t-digest sketch state,
+    mergeable map-side) and accepts the documented error bound — same
+    plan shape, sketch state instead of multisets. The gate pins the
+    exact form because approximate output is non-deterministic across
+    partitionings and cannot be value-hash oracled."""
+    e = T(spark, sf_dir, "events")
+    host = F.concat(F.lit("h"), F.pmod("user_id", F.lit(20)).cast("string"))
+    return e.groupBy(host.alias("host")).agg(
+        F.round(F.percentile("value", 0.5), 6).alias("p50"),
+        F.round(F.percentile("value", 0.95), 6).alias("p95"),
+        F.count("*").cast("long").alias("n"),
+    )

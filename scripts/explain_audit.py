@@ -200,6 +200,11 @@ EXPECTATIONS = {
     # CDC: boundary flags codegen'd in the scan projection; chunk window
     # behind one doc_id exchange; assembly groupBy reuses that partitioning
     "dedup_cdc_chunks": ["Window", "hashpartitioning(doc_id#", "md5("],
+    # exact percentiles: one partial-agg shuffle on host, two-column scan
+    "host_latency_quantiles": [
+        "percentile",
+        "ReadSchema: struct<user_id:bigint,value:double>",
+    ],
 }
 
 # query → substrings that must NOT appear (the round-1 defect signatures)
@@ -265,6 +270,7 @@ FORBIDDEN = {
     # and chunking must stay off the Python path
     # a re-shuffle for the chunk-assembly agg would render as
     # hashpartitioning(doc_id#N, chunk_id#M, ...) — match the second key
+    "host_latency_quantiles": ["ArrowEvalPython", "BatchEvalPython"],
     "dedup_cdc_chunks": [
         r"re:hashpartitioning\(doc_id#\d+L?, chunk_id#",
         "ArrowEvalPython",

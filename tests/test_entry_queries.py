@@ -93,6 +93,7 @@ FAST = [
     "dedup_incremental",
     "stream_host_rates",
     "dedup_cdc_chunks",
+    "host_latency_quantiles",
 ]
 
 
