@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "stream_host_rates",
     "dedup_cdc_chunks",
     "host_latency_quantiles",
+    "host_reciprocity",
 ]
 
 

@@ -4342,3 +4342,86 @@ def host_latency_quantiles(spark, sf_dir):
         F.round(F.percentile("value", 0.95), 6).alias("p95"),
         F.count("*").cast("long").alias("n"),
     )
+
+
+# =====================================================================
+# Link-reciprocity spam metric gate (#88): fraction of a host's
+# out-links that are reciprocated — the classic link-exchange signal.
+# =====================================================================
+
+_RECIP_HOSTS = 120  # host i links to (i+1)%120 and, for even i, to (i-1)%120
+                    # ⇒ even→odd edges are reciprocated, odd→even are not
+
+
+@q(
+    "host_reciprocity",
+    f"""
+    WITH h AS (SELECT DISTINCT doc_id % {_RECIP_HOSTS} AS hid FROM documents),
+    edges AS (
+      SELECT hid AS a, (hid + 1) % {_RECIP_HOSTS} AS b FROM h
+      UNION
+      SELECT hid, (hid + {_RECIP_HOSTS} - 1) % {_RECIP_HOSTS} FROM h
+        WHERE hid % 2 = 0
+    ),
+    r AS (
+      SELECT e.a, e.b,
+             CASE WHEN e2.a IS NOT NULL THEN 1 ELSE 0 END AS recip
+      FROM edges e
+      LEFT JOIN edges e2 ON e2.a = e.b AND e2.b = e.a
+    )
+    SELECT 'h' || a || '.docs.test' AS host,
+           CAST(count(*) AS BIGINT) AS out_deg,
+           CAST(sum(recip) AS BIGINT) AS reciprocated,
+           round(CAST(sum(recip) AS DOUBLE) / count(*), 6) AS reciprocity
+    FROM r GROUP BY a
+    """,
+)
+def host_reciprocity(spark, sf_dir):
+    """Link reciprocity per host — the classic link-exchange/spam-ring
+    signal (TrustRank-era webspam features: organic linking is mostly
+    one-way; a host whose out-links are overwhelmingly reciprocated is
+    trading links): fraction of a host's distinct out-edges whose reverse
+    edge exists. The synthetic host graph is closed-form — every host
+    links to its successor ring-wise, even hosts also link back to their
+    predecessor — so even→odd pairs reciprocate and the expected
+    reciprocity per host follows from parity alone; the oracle restates
+    the same construction + a mirror self-join in SQL.
+
+    Scale design: ONE equi-self-join of the (already host-level, so slim)
+    edge list against its column-swapped self on the full pair key, then
+    one partial-agg shuffle per source host. Both sides of the mirror
+    join are the same rollup output: co-partitioned by repartitioning on
+    the leading join key once; at 10^8 hosts the edge list is the
+    host_graph_edges rollup (page-level links never enter). No window, no
+    driver state."""
+    d = T(spark, sf_dir, "documents")
+    hid = F.pmod("doc_id", F.lit(_RECIP_HOSTS)).cast("long")
+    h = d.select(hid.alias("hid")).distinct()
+    fwd = h.select(
+        F.col("hid").alias("a"),
+        F.pmod(F.col("hid") + 1, F.lit(_RECIP_HOSTS)).alias("b"),
+    )
+    back = h.where(F.pmod("hid", F.lit(2)) == 0).select(
+        F.col("hid").alias("a"),
+        F.pmod(F.col("hid") + (_RECIP_HOSTS - 1), F.lit(_RECIP_HOSTS)).alias("b"),
+    )
+    edges = fwd.union(back).distinct()
+    mirror = edges.select(F.col("b").alias("m_a"), F.col("a").alias("m_b"))
+    r = edges.join(
+        mirror,
+        (F.col("a") == F.col("m_a")) & (F.col("b") == F.col("m_b")),
+        "left",
+    ).select(
+        "a", "b", F.when(F.col("m_a").isNotNull(), 1).otherwise(0).alias("recip")
+    )
+    return r.groupBy("a").agg(
+        F.count("*").cast("long").alias("out_deg"),
+        F.sum("recip").cast("long").alias("reciprocated"),
+        F.round(F.sum("recip") / F.count("*"), 6).alias("reciprocity"),
+    ).select(
+        F.concat(F.lit("h"), F.col("a").cast("string"), F.lit(".docs.test"))
+        .alias("host"),
+        "out_deg",
+        "reciprocated",
+        "reciprocity",
+    )

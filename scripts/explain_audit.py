@@ -205,6 +205,8 @@ EXPECTATIONS = {
         "percentile",
         "ReadSchema: struct<user_id:bigint,value:double>",
     ],
+    # reciprocity: mirror self-join on the pair key + per-host partial agg
+    "host_reciprocity": ["HashAggregate", "ReadSchema: struct<doc_id:bigint>"],
 }
 
 # query → substrings that must NOT appear (the round-1 defect signatures)
@@ -271,6 +273,7 @@ FORBIDDEN = {
     # a re-shuffle for the chunk-assembly agg would render as
     # hashpartitioning(doc_id#N, chunk_id#M, ...) — match the second key
     "host_latency_quantiles": ["ArrowEvalPython", "BatchEvalPython"],
+    "host_reciprocity": ["ArrowEvalPython", "BatchEvalPython", "CartesianProduct"],
     "dedup_cdc_chunks": [
         r"re:hashpartitioning\(doc_id#\d+L?, chunk_id#",
         "ArrowEvalPython",

@@ -94,6 +94,7 @@ FAST = [
     "stream_host_rates",
     "dedup_cdc_chunks",
     "host_latency_quantiles",
+    "host_reciprocity",
 ]
 
 
