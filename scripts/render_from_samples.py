@@ -88,9 +88,10 @@ def main():
             "843.6 → 731.3 → 615.3 → this; VERDICT r3 #3 target ≥750).\n\n"
             "```json\n" + json.dumps(b) + "\n```\n"
         )
-    ab = os.path.join(REPO, "BENCH", "AB_POSTSCRIPT.md")
-    if os.path.exists(ab):
-        extras.append("\n" + open(ab).read())
+    for extra_md in ("SUBMIT_WITNESS.md", "AB_POSTSCRIPT.md"):
+        p = os.path.join(REPO, "BENCH", extra_md)
+        if os.path.exists(p):
+            extras.append("\n" + open(p).read())
     if extras:
         with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
             f.write("".join(extras))

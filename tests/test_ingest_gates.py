@@ -1,4 +1,4 @@
-"""Hand-written fixtures for the ingest-hygiene gates (#75-78).
+"""Hand-written fixtures for the ingest-hygiene gates (#75-78, #81).
 
 The gate queries synthesize their own input columns closed-form so the
 DuckDB oracle can restate them — which (as VERDICT r3 noted for
@@ -6,8 +6,8 @@ sitemap_parse) leaves a shared-bug blind spot: fixture generation and the
 detector under test ride the same string-building conventions. These tests
 close that gap: REAL-WORLD-SHAPED bytes, authored by hand (including
 malformed cases), flow through the exact production expressions
-(charset_sniff_cols / soft404_verdict_col / url_template_col) with
-expectations asserted independently.
+(charset_sniff_cols / soft404_verdict_col / url_template_col /
+canonical_href_col) with expectations asserted independently.
 """
 
 import os
