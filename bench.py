@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "dedup_cdc_chunks",
     "host_latency_quantiles",
     "host_reciprocity",
+    "ann_pq_rerank",
 ]
 
 

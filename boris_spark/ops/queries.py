@@ -4425,3 +4425,182 @@ def host_reciprocity(spark, sf_dir):
         "reciprocated",
         "reciprocity",
     )
+
+
+# =====================================================================
+# Product-quantization ANN gate (#89): PQ codes + asymmetric-distance
+# scan + exact rerank — the memory-bound complement to IVF's
+# compute-bound cell probing (Jégou et al., TPAMI 2011).
+# =====================================================================
+
+_PQ_M = 8          # subspaces (64-dim vectors → 8 × 8-dim subvectors)
+_PQ_K = 16         # centroids per subspace codebook (codes are 4-bit here;
+                   # 8-bit/256 at production dims)
+_PQ_RERANK = 50    # ADC-ranked candidates per query that get exact rerank
+
+_ANN_PQ_CAND_DIR = os.path.join(
+    tempfile.gettempdir(),
+    f"boris_ann_pq_cand_u{os.getuid()}_p{os.getpid()}.parquet",
+)
+atexit.register(lambda: shutil.rmtree(_ANN_PQ_CAND_DIR, ignore_errors=True))
+
+
+def _lloyd_kmeans(M, k: int, iters: int = 20):
+    """Deterministic plain k-means (farthest-point init seeded at row 0,
+    fixed iterations, no RNG) — the per-subspace PQ codebook trainer;
+    unlike _spherical_kmeans it does NOT normalize (subvectors are not
+    unit vectors)."""
+    import numpy as np
+
+    k = min(k, len(M))
+    C = [M[0]]
+    d = ((M - C[0]) ** 2).sum(axis=1)
+    for _ in range(k - 1):
+        i = int(np.argmax(d))
+        C.append(M[i])
+        d = np.minimum(d, ((M - C[-1]) ** 2).sum(axis=1))
+    C = np.array(C)
+    for _ in range(iters):
+        d2 = ((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = np.argmin(d2, axis=1)
+        for j in range(k):
+            m = a == j
+            if m.any():
+                C[j] = M[m].mean(axis=0)
+    return C
+
+
+def ann_pq_candidates(spark, sf_dir, train_cap=16384):
+    """(q_id, vec_id) pairs: each query's top-{_PQ_RERANK} corpus vectors
+    by PQ asymmetric inner product. Codebooks train per-subspace on a
+    bounded deterministic sample; every corpus vector is encoded to
+    {_PQ_M} codes and scored against all queries' distance tables in ONE
+    Arrow pass — codes and lookup tables only, full vectors never leave
+    the scan."""
+    import numpy as np
+
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    tr = e.orderBy("vec_id").limit(train_cap).toPandas()
+    Mt = np.array(tr["v"].tolist(), dtype=np.float64)
+    Mt /= np.linalg.norm(Mt, axis=1, keepdims=True)
+    d = Mt.shape[1]
+    sub = d // _PQ_M
+    books = np.stack(
+        [_lloyd_kmeans(Mt[:, m * sub:(m + 1) * sub], _PQ_K) for m in range(_PQ_M)]
+    )  # (M, K, sub)
+
+    qp = e.where(F.col("vec_id") < 10).toPandas()
+    Mq = np.array(qp["v"].tolist(), dtype=np.float64)
+    Mq /= np.linalg.norm(Mq, axis=1, keepdims=True)
+    # ADC lookup tables: tables[q, m, k] = <q_sub_m, books[m, k]>
+    tables = np.einsum("qms,mks->qmk", Mq.reshape(len(Mq), _PQ_M, sub), books)
+    q_ids = qp["vec_id"].to_numpy()
+    bc = spark.sparkContext.broadcast((books, tables, q_ids))
+
+    def score(batches):
+        import pandas as pd
+
+        Bb, Tb, qids = bc.value
+        for pdf in batches:
+            M = np.array(pdf["v"].tolist(), dtype=np.float64)
+            M /= np.linalg.norm(M, axis=1, keepdims=True)
+            S = M.reshape(len(M), _PQ_M, 1, sub)  # (n, M, 1, sub)
+            # codes: per subspace, the nearest codebook centroid
+            d2 = ((S - Bb[None, :, :, :]) ** 2).sum(axis=3)  # (n, M, K)
+            codes = np.argmin(d2, axis=2)  # (n, M)
+            # approx inner product per query: sum of table entries
+            # Tb: (Q, M, K); codes: (n, M) → approx: (n, Q)
+            approx = np.zeros((len(M), len(qids)))
+            for qi in range(len(qids)):
+                approx[:, qi] = Tb[qi][np.arange(_PQ_M), codes].sum(axis=1)
+            out = pd.DataFrame({
+                "vec_id": np.repeat(pdf["vec_id"].to_numpy(), len(qids)),
+                "q_id": np.tile(qids, len(M)),
+                "adist": approx.reshape(-1),
+            })
+            yield out
+
+    scored = e.repartition(spark.sparkContext.defaultParallelism).mapInPandas(
+        score, "vec_id long, q_id long, adist double"
+    ).where(F.col("q_id") != F.col("vec_id"))
+    w = Window.partitionBy("q_id").orderBy(F.col("adist").desc(), "vec_id")
+    return (
+        scored.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= _PQ_RERANK)
+        .select("q_id", "vec_id")
+    )
+
+
+_ANN_PQ_SQL = f"""
+WITH cand AS (
+    SELECT DISTINCT q_id, vec_id
+    FROM read_parquet('{_ANN_PQ_CAND_DIR}/*.parquet')
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sims AS (
+    SELECT c.q_id, c.vec_id AS neighbor_id,
+           round(list_cosine_similarity(q.v, e.v), 4) AS sim
+    FROM cand c
+    JOIN e q ON q.vec_id = c.q_id
+    JOIN e ON e.vec_id = c.vec_id
+),
+ranked AS (
+    SELECT q_id, neighbor_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rank
+    FROM sims
+)
+SELECT q_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= 5
+"""
+
+
+@q("ann_pq_rerank", _ANN_PQ_SQL)
+def ann_pq_rerank(spark, sf_dir):
+    """PQ + ADC + exact rerank — the MEMORY-bound ANN scale path next to
+    IVF's compute-bound one (Jégou et al. TPAMI'11; FAISS's IVFPQ
+    composes both): vectors compress to {_PQ_M} codebook codes
+    ({_PQ_M}×log2({_PQ_K}) bits instead of {_PQ_M * 8}×8 bytes), queries
+    precompute per-subspace inner-product lookup tables, and the corpus
+    scan scores every vector with {_PQ_M} table lookups — no float vector
+    ever leaves the scan stage. The ADC top-{_PQ_RERANK} per query then
+    RERANKS exactly (full-precision cosine) and returns the top-5 — the
+    standard two-stage shape that recovers most of the quantization loss.
+
+    Determinism + oracle: codebooks are deterministic (farthest-point
+    Lloyd, fixed iterations, bounded training sample), so the candidate
+    set is reproducible; pairs materialize to a pid-scoped parquet and
+    the DuckDB oracle recomputes the exact top-5 WITHIN them — the same
+    oracle pattern ann_ivf_topk established. PQ recall vs brute force is
+    measured in pytest, not hash-gated.
+
+    Scale design: ONE Arrow pass carries encode+ADC (codes stay
+    batch-local); per-query top-C plans as rank-limit window state (C
+    rows per partition); rerank joins only C×Q slim pairs back to full
+    vectors via broadcast. At 10^10 vectors the codes table is the
+    materialized index (40 bits/vec ≈ 50 GB — RAM-resident across a
+    cluster where raw float32 is 2.5 TB), and queries batch through it
+    exactly as this plan does."""
+    cand = _pooled_persist(ann_pq_candidates(spark, sf_dir))
+    cand.write.mode("overwrite").parquet(_ANN_PQ_CAND_DIR)
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    q_side = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    sims = (
+        cand.join(F.broadcast(q_side), "q_id")
+        .join(e, "vec_id")
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(_cosine(F.col("qv"), F.col("v")), 4).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("q_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
+    )

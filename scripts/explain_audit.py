@@ -207,6 +207,9 @@ EXPECTATIONS = {
     ],
     # reciprocity: mirror self-join on the pair key + per-host partial agg
     "host_reciprocity": ["HashAggregate", "ReadSchema: struct<doc_id:bigint>"],
+    # PQ: encode+ADC in one Arrow pass; rerank joins slim pairs to full
+    # vectors with the tiny query side broadcast
+    "ann_pq_rerank": ["MapInPandas", "BroadcastHashJoin"],
 }
 
 # query → substrings that must NOT appear (the round-1 defect signatures)
@@ -274,6 +277,7 @@ FORBIDDEN = {
     # hashpartitioning(doc_id#N, chunk_id#M, ...) — match the second key
     "host_latency_quantiles": ["ArrowEvalPython", "BatchEvalPython"],
     "host_reciprocity": ["ArrowEvalPython", "BatchEvalPython", "CartesianProduct"],
+    "ann_pq_rerank": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     "dedup_cdc_chunks": [
         r"re:hashpartitioning\(doc_id#\d+L?, chunk_id#",
         "ArrowEvalPython",

@@ -95,6 +95,7 @@ FAST = [
     "dedup_cdc_chunks",
     "host_latency_quantiles",
     "host_reciprocity",
+    "ann_pq_rerank",
 ]
 
 
@@ -247,3 +248,57 @@ def test_connected_components_path_graph(spark):
         21: 20,
         31: 30, 32: 30,
     }
+
+
+def test_ann_pq_recall_and_candidate_budget(spark):
+    """PQ+ADC on the driver corpus: candidate budget is RERANK/corpus by
+    construction; recall vs brute force is reported (near-isotropic corpus
+    — the clustered assertion is below)."""
+    from boris_spark.ops.queries import _PQ_RERANK, ann_cosine_topk, ann_pq_rerank
+
+    exact = {
+        (r["q_id"], r["neighbor_id"])
+        for r in ann_cosine_topk(spark, SF_DIR).collect()
+    }
+    approx = {
+        (r["q_id"], r["neighbor_id"])
+        for r in ann_pq_rerank(spark, SF_DIR).collect()
+    }
+    assert exact, "no exact pairs"
+    recall = len(exact & approx) / len(exact)
+    n = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
+    print(f"ann_pq driver-corpus recall@5={recall:.2f} "
+          f"candidates={_PQ_RERANK}/{n}")
+    assert recall >= 0.3, f"recall {recall}"
+
+
+def test_ann_pq_recall_clustered(spark, tmp_path):
+    """On a clustered corpus (the ANN regime), PQ's ADC top-candidates must
+    contain the true neighbors: recall@5 >= 0.9 after exact rerank."""
+    import numpy as np
+
+    from boris_spark.ops.queries import ann_cosine_topk, ann_pq_rerank
+
+    rng = np.random.default_rng(7)
+    n_clusters, per, dim = 40, 12, 64
+    bases = rng.normal(size=(n_clusters, dim))
+    bases /= np.linalg.norm(bases, axis=1, keepdims=True)
+    rows = []
+    for i in range(n_clusters * per):
+        c = i % n_clusters
+        v = bases[c] + 0.06 * rng.normal(size=dim)
+        rows.append((i, [float(x) for x in v]))
+    sf = str(tmp_path / "sf")
+    (tmp_path / "sf").mkdir()
+    spark.createDataFrame(rows, "vec_id long, embedding array<double>").write.parquet(
+        f"{sf}/embeddings.parquet"
+    )
+    exact = {
+        (r["q_id"], r["neighbor_id"]) for r in ann_cosine_topk(spark, sf).collect()
+    }
+    approx = {
+        (r["q_id"], r["neighbor_id"]) for r in ann_pq_rerank(spark, sf).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    print(f"ann_pq clustered recall@5={recall:.2f}")
+    assert recall >= 0.9, f"recall {recall}"
