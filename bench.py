@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "host_latency_quantiles",
     "host_reciprocity",
     "ann_pq_rerank",
+    "knn_graph",
 ]
 
 

@@ -4604,3 +4604,117 @@ def ann_pq_rerank(spark, sf_dir):
         .where(F.col("rank") <= 5)
         .select("q_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
     )
+
+
+# =====================================================================
+# Exact k-NN graph gate (#90): per-vector top-k neighbor edges — the
+# embedding-space graph build behind SemDeDup-style semantic dedup and
+# graph-based clustering.
+# =====================================================================
+
+_KNN_K = 5
+
+
+@q(
+    "knn_graph",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sims AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+        FROM e a JOIN e b ON a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+        SELECT src, dst, cosine,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY cosine DESC, dst) AS rank
+        FROM sims
+    )
+    SELECT src, dst, cosine, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {_KNN_K}
+    """,
+)
+def knn_graph(spark, sf_dir, block_rows: int = 512):
+    """Exact k-NN graph over the embedding corpus (every vector's top-
+    {_KNN_K} cosine neighbors) — the graph-build step behind SemDeDup-style
+    semantic dedup, embedding-space clustering, and duplicate-cluster
+    visualization. Same distributed block-pair GEMM discipline as
+    dedup_embedding_cosine (block IDs enumerate driver-side, vectors never
+    pass through the driver), with the k-NN twist: each (src-block,
+    dst-block) GEMM task emits only its LOCAL top-{_KNN_K} per source row
+    — ordered by the same (rounded-sim desc, dst) key the global rank
+    uses, so local pruning provably cannot change the global result (the
+    global top-k is contained in the union of per-block top-ks) — and the
+    global per-src rank-limit window then reduces n_blocks×{_KNN_K}
+    candidates per source to the final edges. Shuffle volume:
+    n_vectors × n_blocks × {_KNN_K} slim rows, not n²; the full quadratic
+    join exists only in the DuckDB oracle."""
+    import numpy as np
+    import pandas as pd
+
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", F.floor(F.col("vec_id") / block_rows).alias("block")
+    )
+    blocks = sorted(r[0] for r in e.select("block").distinct().collect())
+    pairs = [
+        (ia * 1_000_000 + ib, a, b)
+        for ia, a in enumerate(blocks)
+        for ib, b in enumerate(blocks)
+    ]
+    pairs_df = spark.createDataFrame(pairs, "pair_id long, block_src long, block_dst long")
+
+    side_src = e.join(
+        F.broadcast(pairs_df.select("pair_id", F.col("block_src").alias("block"))),
+        "block",
+    ).select("pair_id", "vec_id", "embedding", F.lit("s").alias("side"))
+    side_dst = e.join(
+        F.broadcast(
+            pairs_df.where(F.col("block_src") != F.col("block_dst")).select(
+                "pair_id", F.col("block_dst").alias("block")
+            )
+        ),
+        "block",
+    ).select("pair_id", "vec_id", "embedding", F.lit("d").alias("side"))
+
+    def gemm_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        def mat(sub):
+            ids = sub["vec_id"].to_numpy()
+            M = np.array(sub["embedding"].tolist(), dtype=np.float64)
+            M /= np.linalg.norm(M, axis=1, keepdims=True)
+            return ids, M
+
+        sm = pdf["side"] == "s"
+        ids_s, S_ = mat(pdf[sm])
+        if (~sm).any():
+            ids_d, D = mat(pdf[~sm])
+        else:  # diagonal block pair: neighbors within the same block
+            ids_d, D = ids_s, S_
+        S = np.round(S_ @ D.T, 4)
+        rows = []
+        for i in range(len(ids_s)):
+            sims = S[i]
+            mask = ids_d != ids_s[i]
+            cand_ids = ids_d[mask]
+            cand_sims = sims[mask]
+            # (rounded-sim desc, dst asc) — EXACTLY the global rank order,
+            # so taking the local head is lossless
+            order = np.lexsort((cand_ids, -cand_sims))[: _KNN_K]
+            rows.append(pd.DataFrame({
+                "src": ids_s[i], "dst": cand_ids[order],
+                "cosine": cand_sims[order],
+            }))
+        return pd.concat(rows) if rows else pd.DataFrame(
+            {"src": [], "dst": [], "cosine": []}
+        )
+
+    local = (
+        side_src.unionByName(side_dst)
+        .groupBy("pair_id")
+        .applyInPandas(gemm_topk, "src long, dst long, cosine double")
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cosine").desc(), "dst")
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _KNN_K)
+        .select("src", "dst", "cosine", F.col("rank").cast("long").alias("rank"))
+    )

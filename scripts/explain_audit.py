@@ -210,6 +210,9 @@ EXPECTATIONS = {
     # PQ: encode+ADC in one Arrow pass; rerank joins slim pairs to full
     # vectors with the tiny query side broadcast
     "ann_pq_rerank": ["MapInPandas", "BroadcastHashJoin"],
+    # kNN graph: block-pair GEMM in applyInPandas + global rank-limit —
+    # no quadratic join in the physical plan
+    "knn_graph": ["FlatMapGroupsInPandas", "BroadcastHashJoin", "Window"],
 }
 
 # query → substrings that must NOT appear (the round-1 defect signatures)
@@ -278,6 +281,7 @@ FORBIDDEN = {
     "host_latency_quantiles": ["ArrowEvalPython", "BatchEvalPython"],
     "host_reciprocity": ["ArrowEvalPython", "BatchEvalPython", "CartesianProduct"],
     "ann_pq_rerank": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    "knn_graph": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     "dedup_cdc_chunks": [
         r"re:hashpartitioning\(doc_id#\d+L?, chunk_id#",
         "ArrowEvalPython",

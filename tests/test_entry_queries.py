@@ -96,6 +96,7 @@ FAST = [
     "host_latency_quantiles",
     "host_reciprocity",
     "ann_pq_rerank",
+    "knn_graph",
 ]
 
 
