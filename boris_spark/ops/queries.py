@@ -4690,22 +4690,23 @@ def knn_graph(spark, sf_dir, block_rows: int = 512):
         else:  # diagonal block pair: neighbors within the same block
             ids_d, D = ids_s, S_
         S = np.round(S_ @ D.T, 4)
-        rows = []
-        for i in range(len(ids_s)):
-            sims = S[i]
-            mask = ids_d != ids_s[i]
-            cand_ids = ids_d[mask]
-            cand_sims = sims[mask]
-            # (rounded-sim desc, dst asc) — EXACTLY the global rank order,
-            # so taking the local head is lossless
-            order = np.lexsort((cand_ids, -cand_sims))[: _KNN_K]
-            rows.append(pd.DataFrame({
-                "src": ids_s[i], "dst": cand_ids[order],
-                "cosine": cand_sims[order],
-            }))
-        return pd.concat(rows) if rows else pd.DataFrame(
-            {"src": [], "dst": [], "cosine": []}
-        )
+        # (rounded-sim desc, dst asc) — EXACTLY the global rank order, so
+        # taking the local head is lossless. Fully vectorized: sims are
+        # exact multiples of 1e-4 after rounding, so an integer composite
+        # key (-sim_int << 33 | dst) sorts both fields at once; self-pairs
+        # are pushed past the end with a +inf-equivalent key.
+        sim_int = np.round(S * 10000.0).astype(np.int64)
+        key = -sim_int * (1 << 33) + ids_d[None, :]
+        key[ids_s[:, None] == ids_d[None, :]] = np.iinfo(np.int64).max
+        k = min(_KNN_K, S.shape[1])
+        order = np.argsort(key, axis=1, kind="stable")[:, :k]  # (n_s, k)
+        src = np.repeat(ids_s, k)
+        dst = ids_d[order].reshape(-1)
+        cos = np.take_along_axis(S, order, axis=1).reshape(-1)
+        keep = key[np.arange(len(ids_s))[:, None], order].reshape(-1) != np.iinfo(
+            np.int64
+        ).max  # drop self-pair placeholders (blocks smaller than k+1)
+        return pd.DataFrame({"src": src[keep], "dst": dst[keep], "cosine": cos[keep]})
 
     local = (
         side_src.unionByName(side_dst)
