@@ -2087,8 +2087,10 @@ def events_sessionize_stream(spark, sf_dir):
 
     from ..streaming.sessionize import run_sessionize_append
 
+    wd = tempfile.mkdtemp(prefix="boris_stream_")
+    atexit.register(lambda: shutil.rmtree(wd, ignore_errors=True))
     return run_sessionize_append(
-        spark, sf_dir, tempfile.mkdtemp(prefix="boris_stream_"),
+        spark, sf_dir, wd,
         glob="events.parquet",
         schema="event_id bigint, ts timestamp, user_id bigint, "
                "event_type string, value double, props string",
@@ -4043,10 +4045,16 @@ def redirect_resolve(spark, sf_dir):
             F.col("nxt").alias("g_nxt"),
             F.col("hops").alias("g_hops"),
         )
-        f = f.join(g, f["nxt"] == g["g_id"]).select(
+        # LEFT join: a redirect target with no row of its own (dangling —
+        # possible on a filtered/real harvested table even though the
+        # synthetic id space is contiguous) stays a terminal instead of
+        # silently dropping its whole chain from the output
+        f = f.join(g, f["nxt"] == g["g_id"], "left").select(
             "id",
-            F.col("g_nxt").alias("nxt"),
-            (F.col("hops") + F.col("g_hops")).alias("hops"),
+            F.coalesce(F.col("g_nxt"), F.col("nxt")).alias("nxt"),
+            (F.col("hops") + F.coalesce(F.col("g_hops"), F.lit(0))).alias(
+                "hops"
+            ),
         )
     return f.select(
         F.col("id").alias("url_id"),
@@ -4088,7 +4096,12 @@ def dedup_incremental(spark, sf_dir):
     formed. Survivor pairs verify by exact Jaccard ≥ 0.4 over the cached
     per-doc shingle arrays (candidate-bounded, as everywhere in the dedup
     family). The oracle is the full exact-Jaccard join restricted to
-    mixed pairs — quadratic SQL that exists only oracle-side.
+    mixed pairs — quadratic SQL that exists only oracle-side. Like
+    dedup_minhash_lsh (whose 32-hash/16-band scheme this shares), output
+    equals the exact oracle when LSH recall is 1 at this threshold/shape
+    — true on this corpus's high-Jaccard near-dups; a borderline pair
+    (J≈0.4) misses all 16 bands with probability ~6%, the standard LSH
+    recall trade the batch gate documents.
 
     Scale design: at 10^10 indexed docs + 10^7-doc generations, the band
     table is a bucketed/partitioned standing table (16 band files per
@@ -4153,8 +4166,10 @@ def stream_host_rates(spark, sf_dir):
 
     from ..streaming.host_rates import run_host_rates_append
 
+    wd = tempfile.mkdtemp(prefix="boris_rates_")
+    atexit.register(lambda: shutil.rmtree(wd, ignore_errors=True))
     out = run_host_rates_append(
-        spark, sf_dir, tempfile.mkdtemp(prefix="boris_rates_"),
+        spark, sf_dir, wd,
         glob="events.parquet",
         schema="event_id bigint, ts timestamp, user_id bigint, "
                "event_type string, value double, props string",
@@ -4350,7 +4365,10 @@ def host_latency_quantiles(spark, sf_dir):
 # =====================================================================
 
 _RECIP_HOSTS = 120  # host i links to (i+1)%120 and, for even i, to (i-1)%120
-                    # ⇒ even→odd edges are reciprocated, odd→even are not
+                    # ⇒ odd j's single edge j→j+1 is answered by even
+                    # j+1's back edge (reciprocity 1.0); an even host's
+                    # successor edge is not answered, only its back edge
+                    # is (reciprocity 0.5)
 
 
 @q(
@@ -4383,9 +4401,11 @@ def host_reciprocity(spark, sf_dir):
     trading links): fraction of a host's distinct out-edges whose reverse
     edge exists. The synthetic host graph is closed-form — every host
     links to its successor ring-wise, even hosts also link back to their
-    predecessor — so even→odd pairs reciprocate and the expected
-    reciprocity per host follows from parity alone; the oracle restates
-    the same construction + a mirror self-join in SQL.
+    predecessor — so expected reciprocity follows from parity alone (odd
+    hosts 1.0: their one successor edge is answered by the even
+    successor's back edge; even hosts 0.5: the back edge is answered by
+    the odd predecessor's successor edge, the forward edge is not); the
+    oracle restates the same construction + a mirror self-join in SQL.
 
     Scale design: ONE equi-self-join of the (already host-level, so slim)
     edge list against its column-swapped self on the full pair key, then
@@ -4689,14 +4709,19 @@ def knn_graph(spark, sf_dir, block_rows: int = 512):
             ids_d, D = mat(pdf[~sm])
         else:  # diagonal block pair: neighbors within the same block
             ids_d, D = ids_s, S_
-        S = np.round(S_ @ D.T, 4)
+        # round half-AWAY-from-zero to match DuckDB's round() (np.round is
+        # banker's/half-to-even — an exact .xxxx5 cosine would diverge)
+        R = S_ @ D.T
+        S = np.sign(R) * np.floor(np.abs(R) * 10000.0 + 0.5) / 10000.0
         # (rounded-sim desc, dst asc) — EXACTLY the global rank order, so
         # taking the local head is lossless. Fully vectorized: sims are
         # exact multiples of 1e-4 after rounding, so an integer composite
-        # key (-sim_int << 33 | dst) sorts both fields at once; self-pairs
-        # are pushed past the end with a +inf-equivalent key.
+        # key (-sim_int << 48 | dst) sorts both fields at once (the 48-bit
+        # id field covers the 10^10-vector envelope; 10^4·2^48 is still
+        # within int64); self-pairs are pushed past the end with a
+        # +inf-equivalent key.
         sim_int = np.round(S * 10000.0).astype(np.int64)
-        key = -sim_int * (1 << 33) + ids_d[None, :]
+        key = -sim_int * (1 << 48) + ids_d[None, :]
         key[ids_s[:, None] == ids_d[None, :]] = np.iinfo(np.int64).max
         k = min(_KNN_K, S.shape[1])
         order = np.argsort(key, axis=1, kind="stable")[:, :k]  # (n_s, k)

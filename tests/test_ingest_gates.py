@@ -128,10 +128,12 @@ def test_compact_plan_invariants(spark):
     partition; no group except the last exceeds target once it has >1 file
     (a single file larger than target must still get its own group)."""
     rows = compact_plan(spark, SF_DIR).collect()
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    # every file appears exactly once: distinct ids == rows == corpus size
+    assert len({r["file_id"] for r in rows}) == len(rows) == n_docs
     by_part = {}
     for r in rows:
         by_part.setdefault(r["part"], []).append(r)
-    assert sum(len(v) for v in by_part.values()) == len(rows)
     for part, fs in by_part.items():
         fs.sort(key=lambda r: r["file_id"])
         grps = sorted({r["grp"] for r in fs})
