@@ -175,3 +175,38 @@ def test_canonical_href_hand_fixtures(spark):
         "i", canonical_href_col(df["head"]).alias("href")).collect()}
     for i, (_, want) in enumerate(CANONICAL_FIXTURES):
         assert got[i] == want, f"fixture {i}: {got[i]!r} != {want!r}"
+
+
+def test_cdc_chunking_edit_locality(spark, tmp_path):
+    """The FastCDC property the gate's docstring claims: inserting a
+    paragraph re-chunks only its NEIGHBORHOOD. Two copies of the same
+    document — one with a run of tokens spliced into the middle — must
+    share every chunk hash except the few chunks touching the splice
+    point (fixed-width chunking would instead lose every chunk after
+    it)."""
+    from boris_spark.ops.queries import dedup_cdc_chunks
+
+    base = [f"tok{i}" for i in range(400)]
+    insert_at = 200
+    edited = base[:insert_at] + [f"new{i}" for i in range(30)] + base[insert_at:]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.createDataFrame(
+        [(0, " ".join(base), "en", "src0", len(" ".join(base))),
+         (1, " ".join(edited), "en", "src0", len(" ".join(edited)))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(str(sf / "documents.parquet"))
+
+    rows = dedup_cdc_chunks(spark, str(sf)).collect()
+    # chunks present in only ONE of the two docs = the edit neighborhood
+    uniq = [r for r in rows if r["n_docs"] == 1]
+    shared = [r for r in rows if r["n_docs"] == 2]
+    assert shared, "documents share no chunks at all — chunking is not content-defined"
+    # the splice disturbs the chunk containing the insertion point plus the
+    # inserted run itself; with a 1/8 gear the neighborhood is a handful of
+    # chunks, NEVER the ~half-document a fixed-width chunker would shift
+    assert len(uniq) <= 8, (
+        f"{len(uniq)} unique chunks vs {len(shared)} shared — "
+        "edit was not local"
+    )
+    assert len(shared) >= len(uniq), "locality inverted"
