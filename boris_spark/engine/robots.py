@@ -433,3 +433,33 @@ class RobotsSnapshotFetcher(SnapshotFetcher):
         if host_rules and not robots_decision(host_rules, pqf):
             return (ROBOTS_STATUS, "")
         return super().fetch(url_canon, method, form_data, url_full)
+
+
+def budgets_from_latency(
+    stats_df: DataFrame,
+    target_p95_s: float = 1.0,
+    base_budget: int = 100,
+    min_budget: int = 1,
+) -> DataFrame:
+    """Fetch-latency SLO feedback → per-host politeness budgets: a host
+    whose measured p95 latency exceeds the target is throttling us (or
+    collapsing under us), so its per-round budget shrinks proportionally —
+    ``budget = clamp(base · target/p95, min, base)``. The producer side is
+    the host_latency_quantiles rollup (ops/queries.py) over the fetch log;
+    the output (host, budget) frame feeds ``CrawlEngine(host_budgets=…)``
+    exactly like :func:`host_budgets_from_robots` — the two compose by
+    union + groupBy-min (most conservative wins), the same rule
+    submit_crawl applies.
+
+    Scale shape: a pure projection over the (already host-aggregated, so
+    slim) stats frame — no shuffle; the engine broadcasts the result into
+    the politeness stage's left join."""
+    budget = F.floor(
+        F.lit(float(base_budget)) * F.lit(float(target_p95_s)) / F.col("p95")
+    ).cast("int")
+    return stats_df.select(
+        "host",
+        F.least(
+            F.lit(base_budget), F.greatest(F.lit(min_budget), budget)
+        ).alias("budget"),
+    )
