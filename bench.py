@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "host_reciprocity",
     "ann_pq_rerank",
     "knn_graph",
+    "tld_budget_allocation",
 ]
 
 

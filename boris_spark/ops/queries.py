@@ -4744,3 +4744,102 @@ def knn_graph(spark, sf_dir, block_rows: int = 512):
         .where(F.col("rank") <= _KNN_K)
         .select("src", "dst", "cosine", F.col("rank").cast("long").alias("rank"))
     )
+
+
+# =====================================================================
+# Crawl-budget allocation gate (#91): proportional split across TLD
+# groups with a per-group cap and one redistribution pass.
+# =====================================================================
+
+_TLD_BUDGET = 10000.0   # pages per round to allocate
+_TLD_CAP_FRAC = 0.3     # no TLD group may take more than 30% of the round
+
+
+@q(
+    "tld_budget_allocation",
+    f"""
+    WITH u AS (
+      SELECT CASE WHEN doc_id % 2 = 0 THEN 'com'
+                  WHEN doc_id % 4 = 1 THEN 'org'
+                  WHEN doc_id % 8 = 3 THEN 'net'
+                  ELSE 'io' END AS tld
+      FROM documents
+    ),
+    g AS (SELECT tld, CAST(count(*) AS DOUBLE) AS n FROM u GROUP BY tld),
+    t AS (SELECT SUM(n) AS total FROM g),
+    a0 AS (
+      SELECT tld, n, {_TLD_BUDGET} * (n / t.total) AS alloc0
+      FROM g, t
+    ),
+    r AS (
+      SELECT SUM(CASE WHEN alloc0 > {_TLD_BUDGET * _TLD_CAP_FRAC}
+                      THEN alloc0 - {_TLD_BUDGET * _TLD_CAP_FRAC}
+                      ELSE 0 END) AS excess,
+             SUM(CASE WHEN alloc0 <= {_TLD_BUDGET * _TLD_CAP_FRAC}
+                      THEN n ELSE 0 END) AS w
+      FROM a0
+    )
+    SELECT tld, CAST(n AS BIGINT) AS n_urls,
+           round(CASE WHEN alloc0 > {_TLD_BUDGET * _TLD_CAP_FRAC}
+                      THEN {_TLD_BUDGET * _TLD_CAP_FRAC}
+                      ELSE least({_TLD_BUDGET * _TLD_CAP_FRAC},
+                                 alloc0 + r.excess * (n / r.w)) END, 6)
+             AS alloc,
+           alloc0 > {_TLD_BUDGET * _TLD_CAP_FRAC} AS capped
+    FROM a0, r
+    """,
+)
+def tld_budget_allocation(spark, sf_dir):
+    """Round-budget allocation across TLD groups — the scheduler step
+    above per-host politeness: the round's global fetch budget splits
+    proportionally to each group's pending-URL mass, but no group may
+    take more than {int(_TLD_CAP_FRAC * 100)}% of the round (one
+    runaway TLD — a link farm's ccTLD, a spam wave — cannot starve the
+    rest); the capped groups' excess redistributes proportionally among
+    the uncapped ones in ONE waterfall pass, itself cap-clamped (a fixed
+    pass count keeps the job a static DAG; production repeats the pass a
+    fixed 2-3 times, each one aggregate + broadcast). The synthetic TLD
+    split is deliberately skewed (com gets ~50% of URLs → capped) so the
+    waterfall actually fires.
+
+    Scale shape: domain_mix_weights' discipline — the corpus reduces to
+    one slim row per group via a partial-agg shuffle; the total and the
+    excess/weight pair are single-row aggregates broadcast back
+    (BroadcastNestedLoopJoin on a 1-row side); nothing corpus-sized
+    moves twice."""
+    d = T(spark, sf_dir, "documents")
+    cap = _TLD_BUDGET * _TLD_CAP_FRAC
+    tld = (
+        F.when(F.pmod("doc_id", F.lit(2)) == 0, "com")
+        .when(F.pmod("doc_id", F.lit(4)) == 1, "org")
+        .when(F.pmod("doc_id", F.lit(8)) == 3, "net")
+        .otherwise("io")
+    )
+    g = d.select(tld.alias("tld")).groupBy("tld").agg(
+        F.count("*").cast("double").alias("n")
+    )
+    t = g.agg(F.sum("n").alias("total"))
+    a0 = g.join(t).select(
+        "tld", "n", (F.lit(_TLD_BUDGET) * (F.col("n") / F.col("total"))).alias("alloc0")
+    )
+    r = a0.agg(
+        F.sum(
+            F.when(F.col("alloc0") > cap, F.col("alloc0") - cap).otherwise(0.0)
+        ).alias("excess"),
+        F.sum(F.when(F.col("alloc0") <= cap, F.col("n")).otherwise(0.0)).alias("w"),
+    )
+    return a0.join(r).select(
+        "tld",
+        F.col("n").cast("long").alias("n_urls"),
+        F.round(
+            F.when(F.col("alloc0") > cap, F.lit(cap)).otherwise(
+                F.least(
+                    F.lit(cap),
+                    F.col("alloc0")
+                    + F.col("excess") * (F.col("n") / F.col("w")),
+                )
+            ),
+            6,
+        ).alias("alloc"),
+        (F.col("alloc0") > cap).alias("capped"),
+    )

@@ -213,6 +213,9 @@ EXPECTATIONS = {
     # kNN graph: block-pair GEMM in applyInPandas + global rank-limit —
     # no quadratic join in the physical plan
     "knn_graph": ["FlatMapGroupsInPandas", "BroadcastHashJoin", "Window"],
+    # budget waterfall: corpus → one row per group (partial agg), 1-row
+    # totals broadcast back — nothing corpus-sized moves twice
+    "tld_budget_allocation": ["BroadcastNestedLoopJoin", "HashAggregate"],
 }
 
 # query → substrings that must NOT appear (the round-1 defect signatures)
@@ -282,6 +285,7 @@ FORBIDDEN = {
     "host_reciprocity": ["ArrowEvalPython", "BatchEvalPython", "CartesianProduct"],
     "ann_pq_rerank": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     "knn_graph": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    "tld_budget_allocation": ["ArrowEvalPython", "BatchEvalPython"],
     "dedup_cdc_chunks": [
         r"re:hashpartitioning\(doc_id#\d+L?, chunk_id#",
         "ArrowEvalPython",

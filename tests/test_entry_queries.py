@@ -97,6 +97,7 @@ FAST = [
     "host_reciprocity",
     "ann_pq_rerank",
     "knn_graph",
+    "tld_budget_allocation",
 ]
 
 
