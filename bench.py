@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "ann_pq_rerank",
     "knn_graph",
     "tld_budget_allocation",
+    "stream_frontier_merge",
 ]
 
 

@@ -4843,3 +4843,72 @@ def tld_budget_allocation(spark, sf_dir):
         ).alias("alloc"),
         (F.col("alloc0") > cap).alias("capped"),
     )
+
+
+# =====================================================================
+# Streaming frontier-merge dedup gate (#92): the third streaming form —
+# built-in dropDuplicates state-store dedup on the discovery stream.
+# =====================================================================
+
+
+@q(
+    "stream_frontier_merge",
+    """
+    SELECT DISTINCT
+           'http://h' || (user_id % 20) || '.test/p/' || (event_id % 500)
+             AS url_canon,
+           CAST((user_id % 20) * 1000 + (event_id % 500) AS BIGINT)
+             AS url_hash
+    FROM events
+    """,
+)
+def stream_frontier_merge(spark, sf_dir):
+    """Streaming frontier ingest dedup: discovered links arrive
+    continuously from fetcher executors and must enter the frontier
+    exactly once per canonical URL — ``dropDuplicates`` on the canonical
+    key under a watermark is Spark's built-in streaming dedup state store
+    playing the Bloom-shard seen filter's role
+    (streaming/frontier_feed.py; the CUSTOM stateful form —
+    applyInPandasWithState min-path-per-url — is pinned in
+    tests/test_streaming.py). The discovery stream derives closed-form
+    from events (each event "discovers" one of 10k URLs, heavily
+    duplicated), lands as parquet, and drains with AvailableNow; the
+    gate emits only the KEY columns so the result is survivor-order
+    independent (which duplicate wins is scheduling-dependent; the key
+    set is not). Oracle: the same derivation + DISTINCT.
+
+    Scale shape: state is one entry per in-horizon URL key, partitioned
+    by the dedup key across executors; eviction rides the watermark. At
+    10^10 URLs/day the horizon bounds state exactly as the round job's
+    Bloom shards bound the batch form."""
+    import tempfile
+
+    from ..streaming.frontier_feed import (
+        run_append_available_now, stream_frontier_dedup,
+    )
+
+    wd = tempfile.mkdtemp(prefix="boris_fmerge_")
+    atexit.register(lambda: shutil.rmtree(wd, ignore_errors=True))
+    e = T(spark, sf_dir, "events")
+    disc = e.select(
+        F.concat(
+            F.lit("http://h"),
+            F.pmod("user_id", F.lit(20)).cast("string"),
+            F.lit(".test/p/"),
+            F.pmod("event_id", F.lit(500)).cast("string"),
+        ).alias("url_canon"),
+        (F.pmod("user_id", F.lit(20)) * 1000 + F.pmod("event_id", F.lit(500)))
+        .cast("long")
+        .alias("url_hash"),
+        F.concat(
+            F.lit("h"), F.pmod("user_id", F.lit(20)).cast("string")
+        ).alias("host"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0").alias("path_key"),
+        F.col("ts").alias("discovered_ts"),
+    )
+    src = os.path.join(wd, "src")
+    disc.write.mode("overwrite").parquet(src)
+    sdf = stream_frontier_dedup(spark, src)
+    out = os.path.join(wd, "out")
+    run_append_available_now(sdf, os.path.join(wd, "ckpt"), out)
+    return spark.read.parquet(out).select("url_canon", "url_hash")

@@ -98,6 +98,7 @@ FAST = [
     "ann_pq_rerank",
     "knn_graph",
     "tld_budget_allocation",
+    "stream_frontier_merge",
 ]
 
 
