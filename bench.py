@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "knn_graph",
     "tld_budget_allocation",
     "stream_frontier_merge",
+    "crawl_depth_histogram",
 ]
 
 

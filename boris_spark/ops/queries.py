@@ -4912,3 +4912,47 @@ def stream_frontier_merge(spark, sf_dir):
     out = os.path.join(wd, "out")
     run_append_available_now(sdf, os.path.join(wd, "ckpt"), out)
     return spark.read.parquet(out).select("url_canon", "url_hash")
+
+
+# =====================================================================
+# Crawl depth-histogram gate (#93): engine round-of-first-sight == BFS
+# depth of the link tree — the frontier's depth accounting, audited
+# against the closed-form graph.
+# =====================================================================
+
+
+@q(
+    "crawl_depth_histogram",
+    f"""
+    WITH RECURSIVE reach(id, depth) AS (
+        SELECT CAST({CRAWL_SEED_DOC} AS BIGINT), CAST(0 AS BIGINT)
+        UNION
+        SELECT c, d + 1 FROM (
+            SELECT 2*id+1 AS c, depth AS d FROM reach
+            UNION ALL
+            SELECT 2*id+2 AS c, depth AS d FROM reach
+        ) WHERE c < (SELECT count(*) FROM documents)
+    )
+    SELECT depth, CAST(count(*) AS BIGINT) AS n_urls
+    FROM reach GROUP BY depth
+    """,
+)
+def crawl_depth_histogram(spark, sf_dir):
+    """Crawl-depth histogram: URLs first seen per crawl round — on an
+    unbudgeted crawl the engine's round counter IS the link graph's BFS
+    depth (round 0 fetches the seed, round r fetches everything first
+    discovered at distance r), so the seen table's per-round counts must
+    equal the closed-form tree's per-depth node counts, which the oracle
+    states with a depth-carrying recursive CTE sharing no engine code.
+    This is the frontier's depth accounting — what a production crawl
+    reports as its frontier-expansion curve and what depth-capped crawl
+    policies (max-hops) cut on.
+
+    Scale shape: one partial-agg shuffle over the (slim, body-free) seen
+    table's round column; the histogram is rounds-many rows."""
+    eng, _ = _run_doc_crawl(spark, sf_dir)
+    return (
+        eng.seen_df()
+        .groupBy(F.col("round").cast("long").alias("depth"))
+        .agg(F.count("*").cast("long").alias("n_urls"))
+    )

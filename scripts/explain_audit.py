@@ -216,6 +216,8 @@ EXPECTATIONS = {
     # budget waterfall: corpus → one row per group (partial agg), 1-row
     # totals broadcast back — nothing corpus-sized moves twice
     "tld_budget_allocation": ["BroadcastNestedLoopJoin", "HashAggregate"],
+    # depth histogram: one partial-agg shuffle over the slim seen table
+    "crawl_depth_histogram": ["HashAggregate"],
 }
 
 # query → substrings that must NOT appear (the round-1 defect signatures)

@@ -99,6 +99,7 @@ FAST = [
     "knn_graph",
     "tld_budget_allocation",
     "stream_frontier_merge",
+    "crawl_depth_histogram",
 ]
 
 
