@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "tld_budget_allocation",
     "stream_frontier_merge",
     "crawl_depth_histogram",
+    "host_graph_triangles",
 ]
 
 

@@ -4956,3 +4956,99 @@ def crawl_depth_histogram(spark, sf_dir):
         .groupBy(F.col("round").cast("long").alias("depth"))
         .agg(F.count("*").cast("long").alias("n_urls"))
     )
+
+
+# =====================================================================
+# Host-graph triangle-count gate (#94): local clustering structure —
+# the third classic webspam graph feature next to reciprocity and HITS.
+# =====================================================================
+
+_TRI_HOSTS = 90  # path-graph chords: i—i+1 and i—i+2 ⇒ every consecutive
+                 # triple {i, i+1, i+2} closes a triangle
+
+
+@q(
+    "host_graph_triangles",
+    f"""
+    WITH h AS (SELECT DISTINCT doc_id % {_TRI_HOSTS} AS hid FROM documents),
+    edges AS (
+      SELECT hid AS a, hid + 1 AS b FROM h WHERE hid + 1 < {_TRI_HOSTS}
+      UNION
+      SELECT hid, hid + 2 FROM h WHERE hid + 2 < {_TRI_HOSTS}
+    ),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM edges e1
+      JOIN edges e2 ON e2.a = e1.b
+      JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    pernode AS (
+      SELECT x AS node FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri
+    )
+    SELECT 'h' || node || '.docs.test' AS host,
+           CAST(count(*) AS BIGINT) AS n_triangles
+    FROM pernode GROUP BY node
+    """,
+)
+def host_graph_triangles(spark, sf_dir):
+    """Per-host triangle participation — the local-clustering webspam
+    feature (organic neighborhoods close triangles; spam farms are
+    near-bipartite and close almost none; TrustRank-era classifiers use
+    the triangle count / clustering coefficient directly), completing the
+    graph-signal trio with host_reciprocity (mutual edges) and host_hits
+    (hub/authority). Counted with the standard two-join enumeration over
+    CANONICALLY ORIENTED edges (a < b): each triangle {{x<y<z}}
+    enumerates exactly once as (x→y, y→z, x→z), so no /6 correction and
+    no double counts; every participant node then gets credit via the
+    3-way unpivot. The synthetic graph is a path with distance-2 chords
+    — every consecutive triple closes a triangle, so interior hosts sit
+    in 3, boundary hosts in 1-2.
+
+    Scale shape: the classic distributed triangle count — two
+    equi-self-joins of the (slim, host-level) oriented edge list
+    co-partitioned on the join keys, then one partial-agg shuffle for
+    the per-node rollup. At 10^8 hosts the standard refinement (orient
+    edges low-degree → high-degree) bounds the join fan-out; page-level
+    links never enter (host_graph_edges' rollup is the input)."""
+    d = T(spark, sf_dir, "documents")
+    hid = F.pmod("doc_id", F.lit(_TRI_HOSTS)).cast("long")
+    h = d.select(hid.alias("hid")).distinct()
+    edges = (
+        h.where(F.col("hid") + 1 < _TRI_HOSTS)
+        .select(F.col("hid").alias("a"), (F.col("hid") + 1).alias("b"))
+        .union(
+            h.where(F.col("hid") + 2 < _TRI_HOSTS).select(
+                F.col("hid").alias("a"), (F.col("hid") + 2).alias("b")
+            )
+        )
+        .distinct()
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("x"),
+            F.col("e1.b").alias("y"),
+            F.col("e2.b").alias("z"),
+        )
+    )
+    pernode = (
+        tri.select(F.col("x").alias("node"))
+        .union(tri.select(F.col("y").alias("node")))
+        .union(tri.select(F.col("z").alias("node")))
+    )
+    return pernode.groupBy("node").agg(
+        F.count("*").cast("long").alias("n_triangles")
+    ).select(
+        F.concat(F.lit("h"), F.col("node").cast("string"), F.lit(".docs.test"))
+        .alias("host"),
+        "n_triangles",
+    )

@@ -218,6 +218,8 @@ EXPECTATIONS = {
     "tld_budget_allocation": ["BroadcastNestedLoopJoin", "HashAggregate"],
     # depth histogram: one partial-agg shuffle over the slim seen table
     "crawl_depth_histogram": ["HashAggregate"],
+    # triangles: two co-partitioned edge self-joins + per-node partial agg
+    "host_graph_triangles": ["HashAggregate", "ReadSchema: struct<doc_id:bigint>"],
 }
 
 # query → substrings that must NOT appear (the round-1 defect signatures)
@@ -288,6 +290,7 @@ FORBIDDEN = {
     "ann_pq_rerank": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     "knn_graph": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     "tld_budget_allocation": ["ArrowEvalPython", "BatchEvalPython"],
+    "host_graph_triangles": ["CartesianProduct", "ArrowEvalPython", "BatchEvalPython"],
     "dedup_cdc_chunks": [
         r"re:hashpartitioning\(doc_id#\d+L?, chunk_id#",
         "ArrowEvalPython",

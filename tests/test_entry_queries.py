@@ -100,6 +100,7 @@ FAST = [
     "tld_budget_allocation",
     "stream_frontier_merge",
     "crawl_depth_histogram",
+    "host_graph_triangles",
 ]
 
 
