@@ -331,6 +331,19 @@ def main():
             ann_ivf_candidates(spark, sf_dir).count() / (10 * n_vecs), 4
         ),
     }
+    # recall-vs-probed curve: how recall trades against the probe budget
+    # around the shipped operating point (K=128, m=4, nprobe=5)
+    curve = []
+    for npb in (2, 3, 5, 8):
+        c = ann_ivf_candidates(spark, sf_dir, nprobe=npb)
+        pairs = {(r["q_id"], r["vec_id"]) for r in c.select("q_id", "vec_id").collect()}
+        hit = sum(1 for q, v in exact if (q, v) in pairs)
+        curve.append({
+            "nprobe": npb,
+            "cand_recall_at_5": round(hit / max(1, len(exact)), 3),
+            "probed_fraction": round(len(pairs) / (10 * n_vecs), 4),
+        })
+    ann["curve"] = curve
 
     # WARC roundtrip at bench scale: pages table → per-record-gzip archives
     # (one per partition — the CC layout) → distributed binaryFile parse

@@ -457,9 +457,11 @@ def budgets_from_latency(
     budget = F.floor(
         F.lit(float(base_budget)) * F.lit(float(target_p95_s)) / F.col("p95")
     ).cast("int")
-    return stats_df.select(
-        "host",
-        F.least(
-            F.lit(base_budget), F.greatest(F.lit(min_budget), budget)
-        ).alias("budget"),
-    )
+    # p95 NULL or <= 0 (coarse clocks, empty rollups) must mean "no evidence
+    # of slowness" → base_budget; the naive formula NULLs out and greatest()
+    # would then hand the *fastest* host the harshest throttle.
+    clamped = F.when(
+        F.col("p95").isNotNull() & (F.col("p95") > 0),
+        F.least(F.lit(base_budget), F.greatest(F.lit(min_budget), budget)),
+    ).otherwise(F.lit(base_budget))
+    return stats_df.select("host", clamped.alias("budget"))

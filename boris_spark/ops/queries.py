@@ -1828,14 +1828,16 @@ def dedup_embedding_cosine(spark, sf_dir, block_rows: int = 512):
     )
 
 
-def _spherical_kmeans(M, k: int, iters: int = 20):
+def _spherical_kmeans(M, k: int, iters: int = 20, init: int = 0):
     """Deterministic spherical k-means on row-normalized vectors:
-    farthest-point init seeded at row 0, fixed iteration count — no RNG, so
-    the index (and the gate's row set) is reproducible anywhere."""
+    farthest-point init seeded at row ``init``, fixed iteration count — no
+    RNG, so the index (and the gate's row set) is reproducible anywhere.
+    Distinct ``init`` rows yield distinct farthest-point sweeps, which is
+    how the multi-index ensemble gets complementary partitions."""
     import numpy as np
 
     k = min(k, len(M))
-    C = [M[0]]
+    C = [M[init % len(M)]]
     d = 1.0 - M @ C[0]
     for _ in range(k - 1):
         i = int(np.argmax(d))
@@ -1854,10 +1856,29 @@ def _spherical_kmeans(M, k: int, iters: int = 20):
     return C
 
 
-def ann_ivf_candidates(spark, sf_dir, k_clusters=64, nprobe=6, train_cap=16384):
-    """IVF candidate set: (q_id, qv, vec_id, v) rows for corpus vectors in
-    each query's nprobe closest coarse cells. Shared by the top-k query and
-    the recall/probed-fraction measurement in bench + pytest."""
+def ann_ivf_candidates(
+    spark, sf_dir, k_clusters=128, nprobe=5, train_cap=16384, m_quantizers=4
+):
+    """Multi-index IVF candidate set: (q_id, qv, vec_id, v) rows for corpus
+    vectors in each query's nprobe closest coarse cells of any of
+    ``m_quantizers`` INDEPENDENT coarse quantizers (distinct deterministic
+    farthest-point inits), deduped per (q_id, vec_id). Shared by the top-k
+    query and the recall/probed-fraction measurement in bench + pytest.
+
+    Why an ensemble: on a near-isotropic corpus a single k-means partition
+    caps recall@5 around 0.65-0.70 at a 15% probe budget (measured —
+    BENCH/BASELINE.md recall-vs-probed curve); complementary partitions
+    fix exactly the boundary-loss failure mode (the same idea as
+    multi-table LSH / FLANN's randomized-tree ensemble: a true neighbor
+    that falls just outside the probed cells of one partition is unlikely
+    to do so in all m). Measured on the bench corpus: recall@5 0.88 at
+    13.6% probed (was 0.50 at 9.1%).
+
+    Scale shape: postings replicate ids m×, vectors once per posting row
+    here (at 10^10 the postings table stores ids and the candidate join
+    re-attaches vectors by id); the per-quantizer assignment is the same
+    single broadcast-GEMM pass, and the dedup is a groupBy on the slim
+    (q_id, vec_id) candidate frame, never the corpus."""
     import numpy as np
 
     e = T(spark, sf_dir, "embeddings").select(
@@ -1870,42 +1891,57 @@ def ann_ivf_candidates(spark, sf_dir, k_clusters=64, nprobe=6, train_cap=16384):
     tr = e.orderBy("vec_id").limit(train_cap).toPandas()
     Mt = np.array(tr["v"].tolist(), dtype=np.float64)
     Mt /= np.linalg.norm(Mt, axis=1, keepdims=True)
-    C = _spherical_kmeans(Mt, k_clusters)
-    bc = spark.sparkContext.broadcast(C)
+    Cs = [
+        _spherical_kmeans(Mt, k_clusters, init=qi * 137 + 1 if qi else 0)
+        for qi in range(m_quantizers)
+    ]
+    bc = spark.sparkContext.broadcast(Cs)
 
     def assign(batches):
         import pandas as pd
 
-        Cb = bc.value
+        Cbs = bc.value
         for pdf in batches:
             M = np.array(pdf["v"].tolist(), dtype=np.float64)
             M /= np.linalg.norm(M, axis=1, keepdims=True)
-            yield pd.DataFrame({
-                "vec_id": pdf["vec_id"],
-                "v": pdf["v"],
-                "cluster": np.argmax(M @ Cb.T, axis=1),
-            })
+            frames = [
+                pd.DataFrame({
+                    "vec_id": pdf["vec_id"],
+                    "v": pdf["v"],
+                    "qi": qi,
+                    "cluster": np.argmax(M @ Cb.T, axis=1),
+                })
+                for qi, Cb in enumerate(Cbs)
+            ]
+            yield pd.concat(frames, ignore_index=True)
 
     assigned = e.repartition(spark.sparkContext.defaultParallelism).mapInPandas(
-        assign, "vec_id long, v array<double>, cluster int"
+        assign, "vec_id long, v array<double>, qi int, cluster int"
     )  # spread the GEMM pass off the testdata table's 1-partition scan
 
-    # query side: ten vectors — their nprobe closest centroids computed
-    # driver-side (10×k dot products), shipped as a tiny broadcast frame
+    # query side: ten vectors — their nprobe closest centroids per quantizer
+    # computed driver-side (10×m×k dot products), shipped as a tiny
+    # broadcast frame
     qp = e.where(F.col("vec_id") < 10).toPandas()
     Mq = np.array(qp["v"].tolist(), dtype=np.float64)
     Mqn = Mq / np.linalg.norm(Mq, axis=1, keepdims=True)
-    order = np.argsort(-(Mqn @ C.T), axis=1)[:, :nprobe]
-    probes = [
-        (int(q), list(map(float, v)), int(c))
-        for q, v, row in zip(qp["vec_id"], qp["v"], order)
-        for c in row
-    ]
+    probes = []
+    for qi, C in enumerate(Cs):
+        order = np.argsort(-(Mqn @ C.T), axis=1)[:, :nprobe]
+        probes.extend(
+            (int(q), list(map(float, v)), qi, int(c))
+            for q, v, row in zip(qp["vec_id"], qp["v"], order)
+            for c in row
+        )
     probes_df = spark.createDataFrame(
-        probes, "q_id long, qv array<double>, cluster int"
+        probes, "q_id long, qv array<double>, qi int, cluster int"
     )
-    return assigned.join(F.broadcast(probes_df), "cluster").where(
+    cand = assigned.join(F.broadcast(probes_df), ["qi", "cluster"]).where(
         F.col("q_id") != F.col("vec_id")
+    )
+    # a vector found via several quantizers is still ONE probed candidate
+    return cand.groupBy("q_id", "vec_id").agg(
+        F.first("qv").alias("qv"), F.first("v").alias("v")
     )
 
 
@@ -1956,18 +1992,22 @@ SELECT q_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <=
 
 @q("ann_ivf_topk", _ANN_IVF_SQL)
 def ann_ivf_topk(spark, sf_dir):
-    """Scale path for ANN: IVF (inverted-file) index — deterministic
-    spherical k-means coarse quantizer trained on a bounded sample,
-    centroids broadcast, one mapInPandas GEMM pass assigns every vector to
-    its cell, and each query scans only its nprobe closest cells (~9% of the
-    corpus at K=64/nprobe=6; measured per run). The big side is never
+    """Scale path for ANN: multi-index IVF — an ensemble of m=4 independent
+    deterministic spherical-k-means coarse quantizers trained on one
+    bounded sample, centroids broadcast, one mapInPandas GEMM pass assigns
+    every vector to its cell in each partition, and each query scans only
+    its nprobe closest cells per quantizer, deduped (~14% of the corpus at
+    K=128/nprobe=5/m=4; measured per run). The big side is never
     cross-joined and never shuffled — candidates flow through one broadcast
-    join on cluster id. Replaces round 1's hyperplane-LSH variant, whose
-    honest parameters probed ~69% of the corpus; on this near-isotropic test
-    corpus multiprobe LSH at <10% probes measures ~3% recall while IVF
-    measures ~0.5-0.65 (and ≥0.9 on clustered corpora — both numbers pinned
-    in tests/test_entry_queries.py and BENCH/BASELINE.md; at 10^10 scale the
-    assignment pass is a materialized index table, not a per-query job).
+    join on (quantizer, cluster). The ensemble exists because a single
+    partition caps recall ~0.65-0.70 at a 15% probe budget on the
+    near-isotropic bench corpus (complementary partitions recover the
+    boundary losses, same idea as multi-table LSH / FLANN's randomized
+    trees): measured recall@5 0.88 at 13.6% probed, vs 0.50 at 9.1% for
+    the single-quantizer round-4 configuration; ≥0.9 on clustered corpora
+    (both pinned in tests/test_entry_queries.py + BENCH/BASELINE.md; at
+    10^10 scale the assignment pass is a materialized index table, not a
+    per-query job).
 
     Exactness within the candidate set IS SQL-oracled: the deterministic
     (q_id, vec_id) pairs are written to ``_ANN_IVF_CAND_DIR`` and the

@@ -46,5 +46,10 @@ def run_append_available_now(stream_df: DataFrame, checkpoint: str, out_dir: str
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "availableNow drain did not finish within 300s; "
+            "sink is incomplete — refusing to read it"
+        )
     return q

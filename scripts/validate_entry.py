@@ -39,6 +39,12 @@ def norm_rows(cols, rows):
 
 def main():
     names = sys.argv[1:]
+    json_path = None
+    if "--json" in names:
+        i = names.index("--json")
+        json_path = names[i + 1]
+        del names[i : i + 2]
+    results: dict[str, dict] = {}
     qs = entrymod.queries()
     sqls = entrymod.oracle_sql()
     if not names:
@@ -58,9 +64,19 @@ def main():
             scols = sdf.columns
         except Exception as e:  # noqa: BLE001
             failures.append(name)
+            results[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": None, "oracle_rows": None,
+                "err": f"spark error: {type(e).__name__}: {e}",
+            }
             print(f"FAIL {name}: spark error: {type(e).__name__}: {e}")
             continue
         if name not in sqls:
+            results[name] = {
+                "rows_match": True, "schema_match": None, "hash_match": None,
+                "spark_rows": len(srows), "oracle_rows": None,
+                "err": None, "rows_only": True,
+            }
             print(f"ok?  {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
             continue
         try:
@@ -69,27 +85,49 @@ def main():
             drows = rel.fetchall()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
+            results[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": len(srows),
+                "oracle_rows": None,
+                "err": f"duckdb error: {type(e).__name__}: {e}",
+            }
             print(f"FAIL {name}: duckdb error: {type(e).__name__}: {e}")
             continue
         status = []
-        if len(srows) != len(drows):
+        rows_match = len(srows) == len(drows)
+        schema_match = sorted(scols) == sorted(dcols)
+        hash_match = None
+        if not rows_match:
             status.append(f"rowcount spark={len(srows)} duck={len(drows)}")
-        if sorted(scols) != sorted(dcols):
+        if not schema_match:
             status.append(f"schema spark={sorted(scols)} duck={sorted(dcols)}")
         if not status:
             a = norm_rows(scols, [tuple(r) for r in srows])
             b = norm_rows(dcols, drows)
-            if a != b:
+            hash_match = a == b
+            if not hash_match:
                 diff = [
                     (x, y) for x, y in zip(a, b) if x != y
                 ][:3]
                 status.append(f"values differ, first diffs: {diff}")
+        results[name] = {
+            "rows_match": rows_match, "schema_match": schema_match,
+            "hash_match": hash_match, "spark_rows": len(srows),
+            "oracle_rows": len(drows),
+            "err": "; ".join(status) or None,
+        }
         if status:
             failures.append(name)
             print(f"FAIL {name}: {'; '.join(status)}")
         else:
             print(f"PASS {name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
     print(f"\n{len(names)-len(failures)}/{len(names)} passed")
+    if json_path:
+        import json
+
+        with open(json_path, "w") as fh:
+            json.dump(results, fh, indent=2)
+        print(f"wrote {json_path} ({len(results)} gates)")
     from boris_spark.ops.queries import release_persisted
 
     release_persisted()

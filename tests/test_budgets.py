@@ -33,6 +33,29 @@ def test_budgets_from_latency_math(spark):
     }
 
 
+def test_budgets_from_latency_zero_and_null_p95(spark):
+    """p95 = 0 (coarse clock) or NULL (empty rollup) means no evidence of
+    slowness: such hosts must get base_budget, not the min_budget throttle
+    the naive NULL-skipping greatest() would hand them."""
+    stats = spark.createDataFrame(
+        [("zero.test", 0.0), ("null.test", None), ("neg.test", -1.0),
+         ("slow.test", 4.0)],
+        "host string, p95 double",
+    )
+    got = {
+        r["host"]: r["budget"]
+        for r in budgets_from_latency(
+            stats, target_p95_s=1.0, base_budget=100, min_budget=1
+        ).collect()
+    }
+    assert got == {
+        "zero.test": 100,
+        "null.test": 100,
+        "neg.test": 100,
+        "slow.test": 25,
+    }
+
+
 def test_latency_budgets_drive_crawl_enforcement(spark, tmp_path):
     """Computed budgets flow into CrawlEngine(host_budgets=...) and the
     politeness stage enforces them: the 'slow' host is capped per round
