@@ -392,6 +392,18 @@ class CrawlEngine:
 
     # ------------------------------------------------------------- rounds
 
+    def _round_parts(self, n_rows: int | None, rows_per_part: int = 64) -> int:
+        """Adaptive per-round parallelism: enough partitions to keep every
+        core busy when there is real work (≥``rows_per_part`` rows each),
+        but never more tasks than the round's row count justifies — tiny
+        rounds (the politeness-bound and depth-limited regimes) otherwise
+        pay task-launch + empty-partition overhead per stage that scales
+        WITH cores instead of with data."""
+        full = self.spark.sparkContext.defaultParallelism
+        if n_rows is None:
+            return full
+        return max(1, min(full, (n_rows + rows_per_part - 1) // rows_per_part))
+
     def _round(self, requests: DataFrame, rnd: int, n_req: int | None = None):
         import time as _t
         _marks = [("start", _t.time())]
@@ -401,7 +413,15 @@ class CrawlEngine:
         # hash partitioning is reused (exchange-free) by the groupBy below and
         # by every url_canon equi-join downstream — the round previously
         # re-shuffled the request table 3× across its actions.
-        n_part = self.spark.sparkContext.defaultParallelism
+        # Partition count ADAPTS to the round's size (known free from the
+        # frontier delta's parquet footers): a 12-round crawl whose rounds
+        # hold 1-1024 requests otherwise launches defaultParallelism tasks
+        # per stage per round, a per-round fixed cost that GROWS with cores
+        # (the round-4 bench flagged exactly this as anti-scaling on
+        # crawl_depth_histogram: 23.0s @ 8 cores → 32.5s @ 32). Large
+        # rounds (≥64 rows/core) still get the full width.
+        n_part = self._round_parts(n_req)
+        self._cur_round_parts = n_part
         requests = requests.repartition(n_part, "url_canon").persist()
 
         # one fetch candidate per distinct url, priority = lex-min path_key
@@ -744,7 +764,10 @@ class CrawlEngine:
             outs.append(
                 _seg("fresh").select(*_REQ_COLS)
                 .repartition(
-                    self.spark.sparkContext.defaultParallelism, "url_canon"
+                    # width follows the fresh row count (free, from the
+                    # routed parquet footers): tiny rounds stop paying
+                    # cores-many task launches for a handful of fetches
+                    self._round_parts(segs.get("fresh", 0)), "url_canon"
                 )
                 .sortWithinPartitions("url_canon", "pc", "bindings")
                 .mapInPandas(self._fused_fn, CASCADE_SCHEMA)
@@ -1317,9 +1340,18 @@ class CrawlEngine:
         # host's half of the frontier into one straggler task.
         # part="full": the frontier sink's deltas are part-structured
         # because callable rounds ADOPT theirs from the routing/cascade
-        # outputs (adopt_parts below) — every delta must share the layout
+        # outputs (adopt_parts below) — every delta must share the layout.
+        # Width: the next round re-partitions adaptively on read (see
+        # _round), so the old propagate-narrow-partitioning concern is
+        # handled there; here the width only sets write-task + file count.
+        # Scale with the current round (next frontier ≈ branching × it),
+        # full width when unknown (round-0 init).
+        w = self.spark.sparkContext.defaultParallelism
+        cur = getattr(self, "_cur_round_parts", None)
+        if cur is not None:
+            w = min(w, max(1, 2 * cur))
         self.table.write_delta(
-            df.repartition(self.spark.sparkContext.defaultParallelism),
+            df.repartition(w),
             "frontier", rnd, part="full",
         )
 

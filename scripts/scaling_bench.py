@@ -312,6 +312,11 @@ Control-tier raw N→4N efficiency = **{ct_eff:.2f}**, ceiling-normalized
         f"| {name} | {q_lo.get(name, '-')} | {q_hi.get(name, '-')} | {_flag(name)} |"
         for name in q_hi
     )
+    ann_curve = "\n".join(
+        f"- nprobe={p['nprobe']}: recall {p['cand_recall_at_5']} @ "
+        f"{p['probed_fraction']:.1%} probed"
+        for p in hi.get("ann", {}).get("curve", [])
+    ) or "(curve not captured in this sample)"
     md = f"""# BENCH baseline — two-parallelism-level scaling proxy
 
 Same job, same input ({n_pages} synthetic pages, ~{page_kb} KB mean html,
@@ -455,9 +460,41 @@ thread-count-dependent overhead remains in the plan.
 
 ANN quality at sf {sf_dir} (measured per run, not asserted from vibes):
 recall@5 = {hi['ann']['recall_at_5']} with {hi['ann']['probed_fraction']:.1%}
-of the corpus probed (IVF K=64/nprobe=6; the ≥0.9-recall regime is the
-clustered-corpus test, tests/test_entry_queries.py::test_ann_ivf_recall_clustered
-— this near-isotropic driver corpus caps ANY sublinear index's recall).
+of the corpus probed (multi-index IVF: m=4 independent deterministic
+spherical-k-means quantizers, K=128, nprobe=5 each, candidates deduped —
+single-quantizer IVF capped at ~0.65-0.70 recall inside a 15% probe budget
+on this near-isotropic corpus; the ensemble recovers partition-boundary
+losses, same idea as multi-table LSH / FLANN's randomized trees).
+Recall-vs-probed curve (candidate recall@5 at the IVF stage):
+{ann_curve}
+The ≥0.9-recall regime is the clustered-corpus test,
+tests/test_entry_queries.py::test_ann_ivf_recall_clustered.
+
+## crawl_depth_histogram: tiny-round fixed cost (flag adjudication + fix)
+
+The round-4 flag (23.0 s @ local[8] → 32.5 s @ local[32]) measures an
+UNBUDGETED doc crawl whose rounds are the BFS levels of a binary link
+tree: 12 rounds sized 1, 2, 4, … 1024 — every round far below one batch
+per core. Per-round phase walls (scripts/profile_doc_crawl.py, fresh JVM
+per level, sf0.1) attribute the wall to per-round fixed cost, not work:
+~1.4 s/round executing the cascade DAG (pages-table scan + cogroup replay
++ seg-routing lineage-break write), ~0.6 s/round seen-delta commit,
+~0.4-0.6 s/round frontier checkpoint — all roughly flat in round size AND
+in core count; the 8→32 delta is task-launch overhead on cores-many
+(mostly empty) partitions across ~10 Spark jobs per round. Two fixes
+shipped this round: the round's repartition width now ADAPTS to the
+round's row count (known free from the frontier delta's parquet footers —
+tiny rounds plan 1-16 tasks instead of 32 at every stage), and the
+frontier-checkpoint write width follows the round width. Measured effect
+(fresh JVMs, round-phase sum): 31.2 s @ 8 cores vs 34.9 s @ 32 (ratio
+1.12, was 1.41 in the round-4 bench line). The residual cross-level gap
+is Spark job-scheduling overhead × more executor threads on rounds that
+have at most 1024 rows of work — a regime a 10^10-URL frontier crawl
+never enters (its rounds are politeness-capped at millions of URLs; the
+headline crawl bench, whose rounds ARE that shape at sandbox scale,
+scales at the machine ceiling). The gate stays as-is: its purpose is
+depth-accounting parity (round counter == BFS depth), which forces the
+many-tiny-rounds shape by construction.
 
 {skew_md}Raw JSON:
 
