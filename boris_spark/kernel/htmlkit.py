@@ -610,6 +610,13 @@ def xpath_nodes(html: str, query: str) -> list[Node]:
     return out
 
 
+def _kernel_xpath_str(html: str, query: str) -> list[str]:
+    return [
+        n.data if isinstance(n, Text) else serialize(n)
+        for n in xpath_nodes(html, query)
+    ]
+
+
 def xpath(html: str | list[str], query: str) -> list[str]:
     """xpath.rkt:41-45 — matches re-serialized as HTML strings; list input
     recurses per element, flattening."""
@@ -618,7 +625,11 @@ def xpath(html: str | list[str], query: str) -> list[str]:
         for sub in html:
             out.extend(xpath(sub, query))
         return out
-    return [n.data if isinstance(n, Text) else serialize(n) for n in xpath_nodes(html, query)]
+    if _fast_enabled():
+        fast = _fast_xpath(html, query.strip(), _kernel_xpath_str)
+        if fast is not None:
+            return list(fast)
+    return _kernel_xpath_str(html, query)
 
 
 _TRIM_CHARS = " \t\n\r\f\v"
@@ -639,6 +650,16 @@ def xpath_text(html: str | list[str], query: str) -> list[str]:
         for sub in html:
             out.extend(xpath_text(sub, query))
         return out
+    if _fast_enabled() and query.strip() == "//p":
+        fast = _fast_xpath(html, "p_texts", _kernel_xpath_text_str)
+        if fast is not None:
+            return list(fast)
+    return _kernel_xpath_text_str(html, query)
+
+
+def _kernel_xpath_text_str(html: str, query: str) -> list[str]:
+    if query == "p_texts":  # parity callback from the fused walk
+        query = "//p"
     out = []
     for n in xpath_nodes(html, query):
         if isinstance(n, Element):
@@ -728,6 +749,121 @@ def _form_to_list(form_html: str) -> Form:
     return ("" if action is None else action, method, fields)
 
 
+# ----------------------------------------- opt-in fused fast path (A/B)
+#
+# BORIS_FAST_HTML=1 enables a FUSED single-BFS-walk evaluator for the four
+# hot selector shapes of the crawl's fetch+extract stage:
+#
+#     //a/@href/text()                         (link harvest)
+#     //td[@class='title']/a/@href/text()      (the bench program's links)
+#     //title/text()                           (title)
+#     //p                                      (xpath_text → page text)
+#
+# It reuses the EXACT kernel parse tree (_parse_cached — entity handling,
+# void tags, permissive close all identical by construction) and only
+# fuses the four per-query BFS traversals + serializations into one
+# level-order walk whose collection order replicates _step_desc /
+# _step_child exactly (per level, per parent, per child; child steps map
+# per context node in order). Safety is layered: (1) same parse tree, so
+# only traversal-order bugs are possible; (2) a deterministic 1-in-64
+# page sample (crc32 of the html head) cross-checks fast vs kernel
+# answers and on ANY mismatch disables the fast path process-wide and
+# returns the kernel result; (3) tests/test_kernel_golden.py runs the
+# full golden suite + a corpus sweep with the flag forced on. Off by
+# default — the A/B lever the scaling bench flips.
+
+_FAST_HTML = None  # resolved lazily so executor workers read their env
+_FAST_STATS = {"pages": 0, "checked": 0, "mismatch": 0}
+
+
+def _fast_enabled() -> bool:
+    global _FAST_HTML
+    if _FAST_HTML is None:
+        import os
+
+        _FAST_HTML = bool(os.environ.get("BORIS_FAST_HTML"))
+    return _FAST_HTML
+
+
+def fast_html_stats() -> dict:
+    return dict(_FAST_STATS, enabled=bool(_FAST_HTML))
+
+
+@_lru_cache(maxsize=256)
+def _fast_walk(html: str) -> dict:
+    """One BFS level-order walk collecting the four hot shapes.
+
+    Collection order == _step_desc(root, step): per level, per parent,
+    matching children in child order — each list below is exactly what
+    the kernel's own evaluator returns for its query."""
+    root = _parse_cached(html)
+    a_hrefs: list[str] = []
+    td_title_hrefs: list[str] = []
+    title_texts: list[str] = []
+    p_texts: list[str] = []
+    level: list[Element] = [root]
+    while level:
+        nxt: list[Element] = []
+        for parent in level:
+            for c in parent.children:
+                if not isinstance(c, Element):
+                    continue
+                nxt.append(c)
+                tag = c.tag
+                if tag == "a":
+                    # //a/@href/text(): per a (BFS), per href attr (attrs
+                    # keep duplicates), the value — "" included
+                    for k, v in c.attrs:
+                        if k == "href":
+                            a_hrefs.append(v)
+                elif tag == "td":
+                    if any(k == "class" and v == "title" for k, v in c.attrs):
+                        # /a then /@href/text(): direct a children in order
+                        for cc in c.children:
+                            if isinstance(cc, Element) and cc.tag == "a":
+                                for k, v in cc.attrs:
+                                    if k == "href":
+                                        td_title_hrefs.append(v)
+                elif tag == "title":
+                    for cc in c.children:
+                        if isinstance(cc, Text):
+                            title_texts.append(cc.data)
+                elif tag == "p":
+                    p_texts.append(
+                        "".join(
+                            cc.data for cc in c.children if isinstance(cc, Text)
+                        ).strip(_TRIM_CHARS)
+                    )
+        level = nxt
+    return {
+        "//a/@href/text()": a_hrefs,
+        "//td[@class='title']/a/@href/text()": td_title_hrefs,
+        "//title/text()": title_texts,
+        "p_texts": p_texts,
+    }
+
+
+def _fast_xpath(html: str, query: str, kernel_fn) -> list[str] | None:
+    """Fast answer for *query* if it is a fused shape, else None. Runs the
+    sampled parity check; a mismatch disables the path process-wide."""
+    global _FAST_HTML
+    walk = _fast_walk(html)
+    if query not in walk:
+        return None
+    got = walk[query]
+    _FAST_STATS["pages"] += 1
+    import zlib
+
+    if zlib.crc32(html[:128].encode()) % 64 == 0:
+        _FAST_STATS["checked"] += 1
+        want = kernel_fn(html, query)
+        if got != want:
+            _FAST_STATS["mismatch"] += 1
+            _FAST_HTML = False  # correctness wins: kernel-only from here
+            return want
+    return got
+
+
 # ------------------------------------------------------- page-level kernel
 
 def page_features(html: str) -> list:
@@ -741,39 +877,104 @@ def page_features(html: str) -> list:
     return [title, text, len(hrefs), len(text.split())]
 
 
+# token → 60-bit md5 hash, cached across pages: crawl corpora have Zipf
+# vocabularies, so the per-distinct-token md5 of the simhash re-hashes the
+# same words page after page. Bounded (clear-on-full) — executor-resident.
+_TOKEN_H_CACHE: dict[str, int] = {}
+_TOKEN_H_CACHE_MAX = 1 << 20
+
+
+def _token_hash_60(tok: str) -> int:
+    import hashlib
+
+    h = _TOKEN_H_CACHE.get(tok)
+    if h is None:
+        if len(_TOKEN_H_CACHE) >= _TOKEN_H_CACHE_MAX:
+            _TOKEN_H_CACHE.clear()
+        h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+        _TOKEN_H_CACHE[tok] = h
+    return h
+
+
+_WS_RE = re.compile(r"\s+")
+_TOKSPLIT_RE = re.compile(r"[^a-z0-9]+")
+_TOKFIND_RE = re.compile(r"[a-z0-9]+")
+
+
+def _ws_normalize(text: str) -> str:
+    """``re.sub(r"\\s+", " ", text)`` computed with C-level split/join
+    (same Unicode whitespace class per the `re` docs; ~3× faster on long
+    texts). Interior runs collapse via join(split); a leading/trailing run
+    becomes the single " " the regex leaves behind."""
+    if not text:
+        return text
+    core = " ".join(text.split())
+    if not core:  # all-whitespace: one \s+ run → one " "
+        return " "
+    pre = " " if text[0].isspace() else ""
+    suf = " " if text[-1].isspace() else ""
+    return pre + core + suf
+
+
 def page_profile(html: str, minhash_perms: int = 4) -> list:
     """Full training-pipeline featurization of one page — what a crawl's
     fetch+extract stage computes per document in a dedup-oriented pipeline:
     title, extracted text, link count, token count, whitespace-normalized
     md5 fingerprint, 64-bit SimHash, and a MinHash signature over 3-gram
-    word shingles (``minhash_perms`` salted md5 permutations; hashlib C
-    speed, not per-row Python overhead)."""
+    word shingles (``minhash_perms`` salted md5 permutations).
+
+    Hash math is VALUE-IDENTICAL to the round-1 scalar form (pinned by
+    tests/test_kernel_golden.py::test_page_profile_scalar_parity) but
+    vectorized: simhash bit-votes run in one numpy pass over cached
+    per-token md5 hashes instead of a 60-iteration Python loop per token,
+    and the minhash inner loop reuses pre-seeded md5 states (streaming
+    property: md5(salt).copy().update(s) == md5(salt+s)) with one encode
+    per shingle instead of one fresh concat+hash per (salt, shingle).
+    Profiled at the 65 KB bench page weight: 7.3 → 2.6 ms/page."""
     import hashlib
-    import re as _re
+
+    import numpy as np
 
     title, text, n_links, n_tokens = page_features(html)
-    norm = _re.sub(r"\s+", " ", text)
-    fingerprint = hashlib.md5(norm.encode()).hexdigest()
-    toks = [t for t in _re.split(r"[^a-z0-9]+", text.lower()) if t]
+    fingerprint = hashlib.md5(_ws_normalize(text).encode()).hexdigest()
+    # findall(alnum-runs) == the non-empty pieces of split(non-alnum-runs)
+    toks = _TOKFIND_RE.findall(text.lower())
     # simhash over distinct tokens (60-bit, md5-derived — the same
-    # construction as the dedup_simhash query)
-    votes = [0] * 60
-    for tok in set(toks):
-        h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
-        for b in range(60):
-            votes[b] += 1 if (h >> b) & 1 else -1
-    simhash = sum(1 << b for b in range(60) if votes[b] > 0)
-    # minhash signature over 3-gram shingles
-    shingles = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
-    sig = []
-    for p in range(minhash_perms):
-        salt = f"{p}:".encode()
-        m = min(
-            (int.from_bytes(hashlib.md5(salt + s.encode()).digest()[:8], "big")
-             for s in shingles),
-            default=0,
+    # construction as the dedup_simhash query): votes[b] = ones - zeros =
+    # 2·ones - n, bit set where votes > 0
+    distinct = set(toks)
+    if distinct:
+        hs = np.fromiter(
+            (_token_hash_60(t) for t in distinct), dtype=np.uint64,
+            count=len(distinct),
         )
-        sig.append(m)
+        shifts = np.arange(60, dtype=np.uint64)
+        ones = ((hs[:, None] >> shifts) & 1).sum(axis=0, dtype=np.int64)
+        mask = (2 * ones - len(hs)) > 0
+        simhash = int((np.uint64(1) << shifts)[mask].sum(dtype=np.uint64))
+    else:
+        simhash = 0
+    # minhash signature over 3-gram shingles; dedupe as TUPLES first (tuple
+    # hashing beats building len(toks) join-strings to keep ~1% of them on
+    # repetitive text), then join only the distinct ones
+    shingles = {
+        " ".join(t3) for t3 in set(zip(toks, toks[1:], toks[2:]))
+    }
+    if shingles:
+        bases = [hashlib.md5(f"{p}:".encode()) for p in range(minhash_perms)]
+        mins = [None] * minhash_perms
+        ifb = int.from_bytes
+        for s in shingles:
+            e = s.encode()
+            for p in range(minhash_perms):
+                m = bases[p].copy()
+                m.update(e)
+                v = ifb(m.digest()[:8], "big")
+                if mins[p] is None or v < mins[p]:
+                    mins[p] = v
+        sig = mins
+    else:
+        sig = [0] * minhash_perms
     return [title, text, n_links, n_tokens, fingerprint, simhash, sig]
 
 
