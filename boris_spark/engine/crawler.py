@@ -1372,6 +1372,36 @@ class CrawlEngine:
         done = self.table.committed_rounds()
         return (done[-1] + 1) if done else 0
 
+    def compact(
+        self,
+        sinks: tuple[str, ...] = ("seen", "store", "results"),
+        target_bytes: int = 64 << 20,
+    ) -> dict:
+        """Table maintenance between crawls/rounds: execute the binpack
+        rewrite (TableFormat.compact_sink) on the fast-append sinks and
+        record file-count before/after per sink in a maintenance manifest
+        next to the round manifests (``rounds/compact_after_<N>.json``) —
+        the continuous small-file upkeep a long-running crawl table needs
+        (the planning half is the compact_plan query; Iceberg analogue:
+        rewrite_data_files + a maintenance snapshot). Safe at any round
+        boundary, including mid-crawl before a resume: rewrites preserve
+        rows and the round column exactly (pinned by
+        tests/test_tableformat.py::test_compact_mid_crawl_resume)."""
+        import json as _json
+
+        report = {}
+        for sink in sinks:
+            report[sink] = self.table.compact_sink(sink, target_bytes)
+        done = self.table.committed_rounds()
+        after = done[-1] if done else -1
+        rounds_dir = os.path.join(self.workdir, "rounds")
+        os.makedirs(rounds_dir, exist_ok=True)
+        with open(
+            os.path.join(rounds_dir, f"compact_after_{after}.json"), "w"
+        ) as f:
+            _json.dump(report, f)
+        return report
+
     # ------------------------------------------------------------ readers
 
     def downloads_df(self) -> DataFrame:

@@ -98,6 +98,19 @@ class TableFormat:
         snapshot-summary read. Raises if the round was never committed."""
         raise NotImplementedError
 
+    def compact_sink(self, sink: str, target_bytes: int = 64 << 20) -> dict:
+        """Execute small-file compaction on *sink*: bin-pack each round
+        delta's data files into ~``target_bytes`` outputs and atomically
+        swap them in (Iceberg ``rewrite_data_files(strategy='binpack')``
+        executed per-partition, with the round delta as the partition).
+        Rows, values, and the round column are preserved exactly; only
+        file layout changes. Returns ``{"files_before", "files_after",
+        "bytes", "rounds_rewritten"}``. A fast-append crawl table needs
+        this continuously: every round adopts cores-many small files and
+        read amplification grows without bound otherwise (the planning
+        half is the compact_plan query; this is the execute half)."""
+        raise NotImplementedError
+
 
 class ParquetManifestFormat(TableFormat):
     """Default impl: ``workdir/<sink>/round=N`` parquet deltas + JSON round
@@ -228,12 +241,72 @@ class ParquetManifestFormat(TableFormat):
             return []
         return sorted(
             int(f.split(".")[0])
-            for f in os.listdir(rounds_dir) if f.endswith(".json")
+            for f in os.listdir(rounds_dir)
+            # numeric stems only: maintenance manifests (compact_after_N)
+            # share the directory but are not round snapshots
+            if f.endswith(".json") and f.split(".")[0].isdigit()
         )
 
     def round_metrics(self, rnd: int) -> dict:
         with open(self._path("rounds", f"{rnd}.json")) as f:
             return json.load(f)
+
+    def compact_sink(self, sink: str, target_bytes: int = 64 << 20) -> dict:
+        """Per-round binpack rewrite + atomic directory swap. Each round
+        delta whose file count exceeds its binpack group count is read
+        back, coalesced to ``ceil(bytes/target)`` outputs, written to a
+        hidden staging dir, and swapped in with two renames (crash at any
+        point leaves either the old or the new complete delta; stale
+        ``.compact_*`` dirs from a killed pass are swept on entry). The
+        ``fsrc`` adoption sub-partitioning is dissolved by the rewrite —
+        it is projection-away lineage metadata; every reader selects
+        explicit columns. The round column itself lives in the directory
+        name and is untouched."""
+        import shutil
+
+        top = self._path(sink)
+        stats = {"files_before": 0, "files_after": 0, "bytes": 0,
+                 "rounds_rewritten": 0}
+        if not os.path.isdir(top):
+            return stats
+        # sweep debris from a previously killed compaction pass
+        for d in list(os.listdir(top)):
+            if ".compact_" in d:
+                shutil.rmtree(os.path.join(top, d), ignore_errors=True)
+
+        def _files(rdir: str) -> list[tuple[str, int]]:
+            return [
+                (os.path.join(root, f), os.path.getsize(os.path.join(root, f)))
+                for root, _dirs, fs in os.walk(rdir)
+                for f in sorted(fs) if f.endswith(".parquet")
+            ]
+
+        for d in sorted(os.listdir(top)):
+            if not d.startswith("round="):
+                continue
+            rdir = os.path.join(top, d)
+            files = _files(rdir)
+            nbytes = sum(sz for _, sz in files)
+            stats["files_before"] += len(files)
+            stats["bytes"] += nbytes
+            n_groups = max(1, -(-nbytes // target_bytes))  # ceil
+            if len(files) <= n_groups:
+                stats["files_after"] += len(files)
+                continue
+            tmp = os.path.join(top, f".compact_tmp_{d}")
+            old = os.path.join(top, f".compact_old_{d}")
+            (
+                self.spark.read.parquet(rdir)
+                .drop("fsrc")
+                .coalesce(n_groups)
+                .write.mode("overwrite").parquet(tmp)
+            )
+            os.rename(rdir, old)
+            os.rename(tmp, rdir)
+            shutil.rmtree(old)
+            stats["files_after"] += len(_files(rdir))
+            stats["rounds_rewritten"] += 1
+        return stats
 
 
 class LocalCatalogFormat(TableFormat):

