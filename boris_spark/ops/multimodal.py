@@ -1,16 +1,21 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` columns with
 typed metadata, processed by Arrow-batched pandas UDFs.
 
-The container has no image/audio codecs, so the DECODE step is a
-deterministic fake (clearly marked below): it "decodes" a blob into a pixel/
-sample array derived from the blob bytes themselves. Everything around it —
-the schema, the mapInPandas plumbing, batch shapes, partitioning — is the
-real structure a decode/resize/frame-sample stage has at 100 TB scale:
-binary columns never pass through the driver, decode runs once per blob
-inside the batch, and feature rows are small.
+IMAGES are REAL: blobs are actual PNG files (kernel/pngkit.py — stdlib
+zlib/struct codec, CRC-validated chunks, all five scanline filters) whose
+pixel content is the deterministic gradient ``pixel[i] = i % 256``, so the
+decoded features stay closed-form for the DuckDB oracle while the decode
+path runs a genuine inflate + unfilter over genuine compressed bytes.
 
-A real deployment swaps ``_fake_decode`` for PIL/ffmpeg calls; nothing else
-changes.
+AUDIO/VIDEO remain deterministic fakes (``_fake_decode`` below — the
+container ships no codec for those and none is expressible in stdlib):
+the blob's own bytes stand in for the decoded samples. Everything around
+the seam — the schema, the mapInPandas plumbing, batch shapes,
+partitioning — is the real structure a decode/resize/frame-sample stage
+has at 100 TB scale: binary columns never pass through the driver, decode
+runs once per blob inside the batch, and feature rows are small. A real
+deployment swaps ``_fake_decode`` for soundfile/ffmpeg calls; nothing
+else changes.
 """
 
 from __future__ import annotations
@@ -22,54 +27,93 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..kernel import pngkit
+
 MEDIA_KINDS = ("image", "audio", "video")
+
+MEDIA_SCHEMA = (
+    "media_id long, kind string, blob binary, width int, height int, "
+    "n_frames int, sample_rate int"
+)
+
+
+def _media_row(doc_id: int, text: str) -> dict:
+    import hashlib
+
+    kind = MEDIA_KINDS[doc_id % 3]
+    w = (doc_id % 16) * 32 + 64
+    h = (doc_id % 9) * 32 + 64
+    if kind == "image":
+        blob = pngkit.png_encode(
+            pngkit.gradient_image(w, h), level=6, filter_type=2
+        )
+    else:
+        # md5(text) hex tiled 64× then hex-decoded — 1024 opaque bytes
+        blob = bytes.fromhex(hashlib.md5(text.encode()).hexdigest() * 64)
+    return {
+        "media_id": doc_id,
+        "kind": kind,
+        "blob": blob,
+        "width": w,
+        "height": h,
+        "n_frames": (doc_id % 24) + 1,
+        "sample_rate": 16000 if doc_id % 3 == 1 else 44100,
+    }
 
 
 def make_media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesize a media table from `documents`: one opaque blob per doc
     with typed metadata — (media_id, kind, blob, width, height, n_frames,
-    sample_rate). Deterministic in doc_id; blob = repeated md5 bytes of the
-    text (stands in for encoded pixels/samples)."""
+    sample_rate). Deterministic in doc_id; image blobs are real PNGs of
+    the closed-form gradient, audio/video blobs are md5-derived opaque
+    bytes (see module docstring)."""
     import os
 
-    # spread the downstream decode/feature mapInPandas stages off the
-    # testdata table's single-file (1-partition) scan
+    # spread the blob-encode + downstream decode/feature mapInPandas
+    # stages off the testdata table's single-file (1-partition) scan
     docs = spark.read.parquet(
         os.path.join(sf_dir, "documents.parquet")
     ).repartition(spark.sparkContext.defaultParallelism)
-    kind = F.element_at(
-        F.array(*[F.lit(k) for k in MEDIA_KINDS]),
-        (F.pmod("doc_id", F.lit(3)) + 1).cast("int"),
-    )
-    return docs.select(
-        F.col("doc_id").alias("media_id"),
-        kind.alias("kind"),
-        # blob: md5(text) bytes tiled 64x — an opaque binary payload
-        F.to_binary(F.repeat(F.md5("text"), 64), F.lit("hex")).alias("blob"),
-        (F.pmod("doc_id", F.lit(16)) * 32 + 64).cast("int").alias("width"),
-        (F.pmod("doc_id", F.lit(9)) * 32 + 64).cast("int").alias("height"),
-        (F.pmod("doc_id", F.lit(24)) + 1).cast("int").alias("n_frames"),
-        F.when(F.pmod("doc_id", F.lit(3)) == 1, 16000).otherwise(44100)
-        .cast("int").alias("sample_rate"),
-    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = MEDIA_SCHEMA.replace(" long", "").replace(" string", "") \
+            .replace(" binary", "").replace(" int", "").split(", ")
+        for pdf in batches:
+            rows = [
+                _media_row(int(d), t)
+                for d, t in zip(pdf["doc_id"], pdf["text"])
+            ]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.select("doc_id", "text").mapInPandas(gen, MEDIA_SCHEMA)
 
 
 def _fake_decode(blob: bytes) -> np.ndarray:
-    """DETERMINISTIC FAKE DECODE — the container has no codecs. Interprets
-    the blob bytes as the decoded sample array. Replace with a real decoder
-    (PIL / soundfile / ffmpeg) in production; the surrounding plumbing is
-    unchanged."""
+    """DETERMINISTIC FAKE DECODE for audio/video — the container has no
+    codecs for those. Interprets the blob bytes as the decoded sample
+    array. Replace with a real decoder (soundfile / ffmpeg) in
+    production; the surrounding plumbing is unchanged."""
     return np.frombuffer(blob, dtype=np.uint8)
 
 
+def decode_media(kind: str, blob: bytes) -> np.ndarray:
+    """The decode seam: REAL PNG inflate+unfilter for images, documented
+    fake for audio/video."""
+    if kind == "image":
+        return pngkit.png_decode(blob).reshape(-1)
+    return _fake_decode(blob)
+
+
 def media_features_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas: decode + feature-extract per blob (vectorized numpy)."""
+    """mapInPandas: decode + feature-extract per blob (vectorized numpy).
+    Image rows run the real PNG decode — a gate over this function only
+    passes if inflate + unfilter reproduce the gradient byte-exactly."""
     for pdf in batches:
         feats = []
         for media_id, kind, blob, w, h in zip(
             pdf["media_id"], pdf["kind"], pdf["blob"], pdf["width"], pdf["height"]
         ):
-            arr = _fake_decode(bytes(blob))
+            arr = decode_media(kind, bytes(blob))
             hist = np.bincount(arr, minlength=256).astype(np.float64)
             p = hist / max(1, arr.size)
             nz = p[p > 0]
@@ -89,20 +133,23 @@ MEDIA_FEATURES_SCHEMA = (
 
 
 def image_resize_fn(target: int = 64):
-    """mapInPandas: 'resize' images to target×target via stride sampling of
-    the fake-decoded array — the batch shape (one output blob per input
-    blob, metadata updated) is the real resize stage's."""
+    """mapInPandas: resize PNG images to target×target via nearest-neighbor
+    stride sampling of the REAL decoded pixel grid, re-encoded as PNG —
+    one output blob per input blob, metadata updated, decode+encode both
+    inside the Arrow batch (the real thumbnail stage's shape)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for media_id, blob, w, h in zip(pdf["media_id"], pdf["blob"], pdf["width"], pdf["height"]):
-                arr = _fake_decode(bytes(blob))
-                n = target * target
-                idx = (np.arange(n) * max(1, arr.size // n)) % max(1, arr.size)
+                img = pngkit.png_decode(bytes(blob))
+                ih, iw = img.shape
+                ys = (np.arange(target) * ih) // target
+                xs = (np.arange(target) * iw) // target
+                small = img[np.ix_(ys, xs)]
                 rows.append({
                     "media_id": int(media_id),
-                    "blob": arr[idx].tobytes(),
+                    "blob": pngkit.png_encode(small, level=6, filter_type=2),
                     "width": target,
                     "height": target,
                 })

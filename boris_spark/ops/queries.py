@@ -2188,47 +2188,97 @@ def events_sessionize(spark, sf_dir):
                 ELSE 'video' END AS kind,
            CAST((doc_id % 16) * 32 + 64 AS INTEGER) AS width,
            CAST((doc_id % 9) * 32 + 64 AS INTEGER) AS height,
-           CAST(octet_length(from_hex(repeat(md5(text), 64))) AS BIGINT) AS n_bytes
+           CAST(CASE WHEN doc_id % 3 = 0
+                THEN ((doc_id % 16) * 32 + 64) * ((doc_id % 9) * 32 + 64)
+                ELSE octet_length(from_hex(repeat(md5(text), 64)))
+           END AS BIGINT) AS n_bytes,
+           (doc_id % 3 = 0) AS is_png
     FROM documents
     """,
 )
 def media_metadata(spark, sf_dir):
-    """Typed metadata of the multimodal table + blob byte length — all
-    JVM-side; validates the binary-column construction against SQL."""
+    """Typed metadata of the multimodal table: decoded payload size
+    (pixels for images — real PNGs whose compressed length is a zlib
+    implementation detail, raw bytes for audio/video) + a container check
+    (PNG signature + minimum framed size) that the blob really is a PNG
+    exactly for image rows. The exact encode/decode roundtrip is pinned
+    in tests/test_ingest_gates.py."""
     from .multimodal import make_media_df
 
     m = make_media_df(spark, sf_dir)
+    sig = F.lit(bytes(b"\x89PNG\r\n\x1a\n"))
+    # the IEND chunk is constant bytes (len 0 + tag + its fixed CRC):
+    # signature head + IEND tail pins PNG container framing JVM-side
+    iend = F.lit(bytes(b"\x00\x00\x00\x00IEND\xaeB`\x82"))
     return m.select(
         "media_id", "kind", "width", "height",
-        F.length("blob").cast("long").alias("n_bytes"),
+        F.when(
+            F.col("kind") == "image",
+            (F.col("width").cast("long") * F.col("height")),
+        ).otherwise(F.length("blob").cast("long")).alias("n_bytes"),
+        (
+            (F.substring("blob", 1, 8) == sig)
+            & (F.substring("blob", -12, 12) == iend)
+        ).alias("is_png"),
     )
 
 
 _MEDIA_FEATURES_SQL = """
-WITH b AS (
-    SELECT doc_id, ('0x' || substr(md5(text), 2*i.i+1, 2))::INT AS v
-    FROM documents, (SELECT UNNEST(range(0, 16)) AS i) i
-),
-h AS (SELECT doc_id, v, count(*)::DOUBLE / 16 AS p FROM b GROUP BY doc_id, v),
-e AS (SELECT doc_id, -sum(p * log2(p)) AS entropy FROM h GROUP BY doc_id),
-m AS (SELECT doc_id, avg(v) AS mean_val FROM b GROUP BY doc_id)
-SELECT d.doc_id AS media_id,
-       CASE d.doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-            ELSE 'video' END AS kind,
-       CAST(1024 AS BIGINT) AS n_bytes,
-       round(m.mean_val, 6) AS mean_val,
-       round(e.entropy, 6) AS entropy
-FROM documents d JOIN m ON m.doc_id = d.doc_id JOIN e ON e.doc_id = d.doc_id
+WITH i AS (SELECT UNNEST(range(0, 16)) AS i)
+, bb AS (SELECT doc_id, ('0x' || substr(md5(text), 2*i.i+1, 2))::INT AS v
+         FROM documents, i WHERE doc_id % 3 <> 0)
+, h AS (SELECT doc_id, v, count(*)::DOUBLE / 16 AS p FROM bb GROUP BY doc_id, v)
+, e AS (SELECT doc_id, -sum(p * log2(p)) AS entropy FROM h GROUP BY doc_id)
+, m AS (SELECT doc_id, avg(v) AS mean_val FROM bb GROUP BY doc_id)
+, av AS (
+    SELECT d.doc_id AS media_id,
+           CASE d.doc_id % 3 WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+           CAST(1024 AS BIGINT) AS n_bytes,
+           round(m.mean_val, 6) AS mean_val,
+           round(e.entropy, 6) AS entropy
+    FROM documents d JOIN m ON m.doc_id = d.doc_id
+    JOIN e ON e.doc_id = d.doc_id
+    WHERE d.doc_id % 3 <> 0
+)
+, img AS (
+    -- real-PNG rows: the decoded pixel content is the closed-form
+    -- gradient pixel[i] = i % 256 over n = w*h pixels, so with k = n//256
+    -- full cycles and r = n%256 remainder: mean = (k*32640 + r(r-1)/2)/n,
+    -- entropy = -( r*(k+1)/n*log2((k+1)/n) + (256-r)*k/n*log2(k/n) )
+    SELECT doc_id AS media_id, 'image' AS kind,
+           CAST(n AS BIGINT) AS n_bytes,
+           round((k * 32640.0 + r * (r - 1) / 2.0) / n, 6) AS mean_val,
+           round(-(
+               CASE WHEN r > 0
+                    THEN r * ((k + 1.0) / n) * log2((k + 1.0) / n)
+                    ELSE 0 END
+             + CASE WHEN k > 0
+                    THEN (256 - r) * (k * 1.0 / n) * log2(k * 1.0 / n)
+                    ELSE 0 END
+           ), 6) AS entropy
+    FROM (
+        SELECT doc_id,
+               ((doc_id % 16) * 32 + 64) * ((doc_id % 9) * 32 + 64) AS n,
+               ((doc_id % 16) * 32 + 64) * ((doc_id % 9) * 32 + 64) // 256 AS k,
+               ((doc_id % 16) * 32 + 64) * ((doc_id % 9) * 32 + 64) % 256 AS r
+        FROM documents WHERE doc_id % 3 = 0
+    )
+)
+SELECT * FROM av UNION ALL SELECT * FROM img
 """
 
 
 @q("media_features", _MEDIA_FEATURES_SQL)
 def media_features(spark, sf_dir):
     """Decode + feature-extract per blob in mapInPandas batches (mean byte
-    value, byte entropy) — the decode is a deterministic stub (md5 bytes
-    tiled 64×), which makes the features closed-form: the oracle recomputes
-    mean/entropy over the 16 md5 bytes in SQL (tiling preserves both). The
-    Arrow batch shape and partitioning are the real pipeline's."""
+    value, byte entropy). IMAGE rows run the REAL PNG decode
+    (kernel/pngkit.py: CRC-checked chunks, zlib inflate, scanline
+    unfilter) over real compressed bytes — the gate passes only if the
+    decoder reproduces the closed-form gradient byte-exactly, which the
+    oracle states arithmetically (cycle-count mean/entropy). Audio/video
+    keep the documented deterministic fake (md5 bytes tiled 64×; the
+    oracle recomputes mean/entropy over the 16 md5 bytes). The Arrow
+    batch shape and partitioning are the real pipeline's."""
     from .multimodal import MEDIA_FEATURES_SCHEMA, make_media_df, media_features_fn
 
     return make_media_df(spark, sf_dir).mapInPandas(

@@ -210,3 +210,83 @@ def test_cdc_chunking_edit_locality(spark, tmp_path):
         "edit was not local"
     )
     assert len(shared) >= len(uniq), "locality inverted"
+
+
+# --------------------------------------------------- real PNG codec (pngkit)
+
+
+def test_png_roundtrip_all_filters_and_levels():
+    import numpy as np
+
+    from boris_spark.kernel import pngkit
+
+    rng = np.random.RandomState(7)
+    for (w, h) in [(1, 1), (3, 2), (64, 64), (255, 7), (300, 190)]:
+        for ft in [0, 1, 2, 3, 4, "mix"]:
+            for lvl in [0, 6]:
+                arr = rng.randint(0, 256, (h, w), dtype=np.uint8)
+                back = pngkit.png_decode(
+                    pngkit.png_encode(arr, level=lvl, filter_type=ft)
+                )
+                assert (back == arr).all(), (w, h, ft, lvl)
+
+
+def test_png_crc_and_shape_validation():
+    import numpy as np
+    import pytest as _pytest
+
+    from boris_spark.kernel import pngkit
+
+    data = bytearray(pngkit.png_encode(pngkit.gradient_image(8, 8)))
+    data[40] ^= 0xFF
+    with _pytest.raises(ValueError, match="CRC"):
+        pngkit.png_decode(bytes(data))
+    with _pytest.raises(ValueError, match="signature"):
+        pngkit.png_decode(b"not a png at all")
+    # truncated IDAT: dimensions mismatch
+    arr = np.zeros((4, 4), dtype=np.uint8)
+    good = pngkit.png_encode(arr)
+    import struct as _struct
+    import zlib as _zlib
+
+    bad_idat = _zlib.compress(b"\x00" * 7)  # wrong payload size
+    tag = b"IDAT"
+    chunk = (
+        _struct.pack(">I", len(bad_idat)) + tag + bad_idat
+        + _struct.pack(">I", _zlib.crc32(tag + bad_idat) & 0xFFFFFFFF)
+    )
+    # splice: signature + IHDR from good, then bad IDAT + IEND
+    ihdr_end = 8 + 12 + 13
+    iend = good[-12:]
+    with _pytest.raises(ValueError, match="length"):
+        pngkit.png_decode(good[:ihdr_end] + chunk + iend)
+
+
+def test_media_blobs_are_real_pngs_with_gradient_pixels():
+    """Every image blob in the media table decodes (real inflate +
+    unfilter) to the closed-form gradient; resize produces valid 64×64
+    PNGs of the sampled grid."""
+    import numpy as np
+
+    from boris_spark.kernel import pngkit
+    from boris_spark.ops.multimodal import _media_row, image_resize_fn
+
+    for doc_id in (0, 3, 6, 9, 33, 144):
+        row = _media_row(doc_id, f"text {doc_id}")
+        assert row["kind"] == "image"
+        img = pngkit.png_decode(row["blob"])
+        assert img.shape == (row["height"], row["width"])
+        assert (img == pngkit.gradient_image(row["width"], row["height"])).all()
+
+    import pandas as pd
+
+    rows = [_media_row(d, "t") for d in (0, 3)]
+    out = list(image_resize_fn(target=64)(iter([pd.DataFrame(rows)])))[0]
+    for _, r in out.iterrows():
+        small = pngkit.png_decode(r["blob"])
+        assert small.shape == (64, 64)
+        big = pngkit.png_decode(rows[0 if r["media_id"] == 0 else 1]["blob"])
+        ih, iw = big.shape
+        ys = (np.arange(64) * ih) // 64
+        xs = (np.arange(64) * iw) // 64
+        assert (small == big[np.ix_(ys, xs)]).all()
