@@ -139,3 +139,19 @@ def test_fetch_one_file_scheme(tmp_path):
     assert (status, body, head) == (200, p.read_text(), ("", []))
     status, body, _ = fetch_one(f"file://{tmp_path}/missing.html")
     assert (status, body) == (0, "")
+
+
+def test_live_http_bench_tier_politeness(spark):
+    """The bench's live-fetch tier end-to-end small: subprocess multi-host
+    server, budget binding, full coverage, per-(host, round) fetches never
+    exceed the budget."""
+    import sys as _sys
+
+    _sys.path.insert(0, __file__.rsplit("/tests/", 1)[0])
+    from bench import live_http_bench
+
+    out = live_http_bench(spark, n_hosts=4, pages_per_host=15, budget=3)
+    assert out["fetched"] == 4 * 15
+    assert out["politeness_held"] is True
+    assert out["max_host_round_fetches"] <= 3
+    assert out["rounds"] >= 5  # budget binds: 1,2,3,3,3,3 per host
