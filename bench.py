@@ -224,6 +224,89 @@ def live_http_bench(
         _sh.rmtree(workdir, ignore_errors=True)
 
 
+def incremental_bench(spark, sf_dir: str, reps: int = 2) -> dict:
+    """Standing-index scaling evidence for dedup_incremental: the claim is
+    that per-generation admission cost scales with the NEW batch, not the
+    corpus. Measured directly: the SAME incoming batch is checked against
+    a 1× and a 10× standing index (the 9 extra index copies carry
+    perturbed shingles so they match nothing — matched work is identical
+    across tiers, only index size changes). Both indexes are
+    PRE-MATERIALIZED band tables + shingle-set tables on parquet, exactly
+    the production shape (the standing index is maintained incrementally,
+    not rebuilt per generation) — materialization is untimed. The timed
+    phase per tier: new-batch signatures → band equi-join against the
+    materialized index → exact-Jaccard verify of survivors. Report
+    wall_1x, wall_10x, ratio (≈1 expected; the VERDICT bar is ≤1.3)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from boris_spark.ops.queries import (
+        _INCR_MOD, _band_sigs, _doc_sets_df, _shingles_df,
+        _verify_candidates,
+    )
+
+    sh = _shingles_df(spark, sf_dir)
+    is_new = F.pmod("doc_id", F.lit(_INCR_MOD)) == (_INCR_MOD - 1)
+    new_sh = sh.where(is_new)
+    idx_sh = sh.where(~is_new)
+    n_docs = idx_sh.select("doc_id").distinct().count()
+    wd = tempfile.mkdtemp(prefix="boris_incr_")
+    out = {"index_docs_1x": n_docs, "index_docs_10x": n_docs * 10}
+    try:
+        walls = {}
+        for tier, mult in (("1x", 1), ("10x", 10)):
+            tier_sh = idx_sh
+            for k in range(1, mult):
+                # replica k: disjoint doc ids, perturbed shingles (match
+                # nothing — the batch's candidate/verify work stays fixed)
+                tier_sh = tier_sh.unionByName(
+                    idx_sh.select(
+                        (F.col("doc_id") + F.lit(k * 10_000_000)).alias(
+                            "doc_id"
+                        ),
+                        F.concat(F.col("s"), F.lit(f"#r{k}")).alias("s"),
+                    )
+                )
+            band_path = os.path.join(wd, f"bands_{tier}")
+            sets_path = os.path.join(wd, f"sets_{tier}")
+            _band_sigs(tier_sh).write.mode("overwrite").parquet(band_path)
+            _doc_sets_df(tier_sh).write.mode("overwrite").parquet(sets_path)
+
+            best = None
+            for _ in range(reps):
+                t0 = time.time()
+                newb = _band_sigs(new_sh).alias("n")
+                oldb = spark.read.parquet(band_path).alias("o")
+                cand = (
+                    newb.join(
+                        oldb,
+                        (F.col("n.band") == F.col("o.band"))
+                        & (F.col("n.band_sig") == F.col("o.band_sig")),
+                    )
+                    .select(
+                        F.least(F.col("n.doc_id"), F.col("o.doc_id")).alias("doc_a"),
+                        F.greatest(F.col("n.doc_id"), F.col("o.doc_id")).alias("doc_b"),
+                    )
+                    .distinct()
+                )
+                sets = spark.read.parquet(sets_path).unionByName(
+                    _doc_sets_df(new_sh)
+                )
+                n_matches = _verify_candidates(cand, sets).count()
+                w = time.time() - t0
+                best = w if best is None else min(best, w)
+            walls[tier] = round(best, 3)
+            out[f"matches_{tier}"] = n_matches
+        out["wall_1x_s"] = walls["1x"]
+        out["wall_10x_s"] = walls["10x"]
+        out["ratio"] = round(walls["10x"] / max(1e-9, walls["1x"]), 2)
+    finally:
+        shutil.rmtree(wd, ignore_errors=True)
+    return out
+
+
 def warc_bench(spark, sf_dir: str, n_archives: int = 64) -> dict:
     """WARC sink+source at bench scale: the sf documents-derived pages
     table is archived as n_archives per-record-gzip .warc.gz files (the
@@ -454,8 +537,11 @@ def main():
     warc = warc_bench(spark, sf_dir)
 
     # live-HTTP tier: real sockets through the mapInPandas fetcher against
-    # a local 32-host server, politeness budget binding (see docstring)
+    # a local multi-host server, politeness budget binding (see docstring)
     live = live_http_bench(spark)
+
+    # standing-index scaling: same batch vs 1x and 10x index (see docstring)
+    incr = incremental_bench(spark, sf_dir)
 
     # streaming throughput-mode: steady-state events/s of the continuous
     # session_window form across micro-batches — the number that should
@@ -491,6 +577,7 @@ def main():
         "streaming": stream_thr,
         "warc": warc,
         "live_http": live,
+        "incremental": incr,
     }
     print(json.dumps(out))
     spark.stop()

@@ -317,6 +317,33 @@ Control-tier raw N→4N efficiency = **{ct_eff:.2f}**, ceiling-normalized
         f"{p['probed_fraction']:.1%} probed"
         for p in hi.get("ann", {}).get("curve", [])
     ) or "(curve not captured in this sample)"
+    lv = hi.get("live_http")
+    live_md = (
+        f"{lv['pages']} pages across {lv['hosts']} loopback hosts through "
+        f"the mapInPandas HTTP fetcher (subprocess server), per-host budget "
+        f"{lv['budget_per_host_round']}/round binding from the round where "
+        f"per-host discovery passes it: fetched {lv['fetched']} in "
+        f"{lv['rounds']} rounds ({lv['wall_s']} s, {lv['urls_per_sec']} "
+        f"urls/s — round-fixed-cost-bound at this host count by design; "
+        f"rounds grow with host count at scale, not with budget). "
+        f"**Politeness assertion: max fetches for any (host, round) = "
+        f"{lv['max_host_round_fetches']} ≤ budget — held: "
+        f"{lv['politeness_held']}**; per-host request rate "
+        f"{lv['host_req_per_sec_min']}-{lv['host_req_per_sec_max']} req/s "
+        f"from the server's own log."
+        if lv else "(not captured in this sample)"
+    )
+    ic = hi.get("incremental")
+    incr_md = (
+        f"Same incoming batch admitted against a pre-materialized standing "
+        f"band index at {ic['index_docs_1x']} and {ic['index_docs_10x']} "
+        f"docs (extra index docs carry perturbed shingles — matched work "
+        f"identical: {ic['matches_1x']} vs {ic['matches_10x']} matches): "
+        f"wall {ic['wall_1x_s']} s vs {ic['wall_10x_s']} s, **ratio "
+        f"{ic['ratio']} (bar ≤ 1.3)** — per-generation cost scales with "
+        f"the batch, not the corpus."
+        if ic else "(not captured in this sample)"
+    )
     md = f"""# BENCH baseline — two-parallelism-level scaling proxy
 
 Same job, same input ({n_pages} synthetic pages, ~{page_kb} KB mean html,
@@ -453,6 +480,14 @@ thread-count-dependent overhead remains in the plan.
 | write wall (s) | {lo['warc']['write_s']} | {hi['warc']['write_s']} |
 | read wall (s) | {lo['warc']['read_s']} | {hi['warc']['read_s']} |
 | ingest throughput (pages/s) | {lo['warc']['read_pages_per_sec']} | {hi['warc']['read_pages_per_sec']} |
+
+## Live-HTTP tier (real sockets, politeness budget binding)
+
+{live_md}
+
+## Standing-index scaling (dedup_incremental: same batch vs 1× and 10× index)
+
+{incr_md}
 
 | query | local[8] | local[32] | |
 |---|---|---|---|
